@@ -1,23 +1,32 @@
 """Test harness: run JAX on a virtual 8-device CPU mesh.
 
 This is the idiomatic JAX fake backend for exercising multi-chip sharding
-without a real TPU slice (SURVEY.md section 4).  Must run before jax imports.
+without a real TPU slice (SURVEY.md section 4).
+
+NOTE: this environment's sitecustomize registers the axon (TPU) PJRT plugin
+and imports jax at interpreter start, so setting JAX_PLATFORMS via os.environ
+here is too late.  ``jax.config.update`` before the first backend use is the
+reliable way to force CPU; XLA_FLAGS is still honored at backend init.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # the shell exports axon (TPU); tests run on CPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
-import numpy as np
-import pytest
 
+jax.config.update("jax_platforms", "cpu")
 # persistent compile cache makes repeated test runs fast
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+import pytest
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "expected the virtual 8-device CPU mesh"
 
 
 @pytest.fixture(scope="session")
