@@ -1,0 +1,2 @@
+from .schedulers import DDPMSchedule, DDIMSchedule, make_beta_schedule
+from .dana import dana_add_noise, dana_betas

@@ -1,0 +1,121 @@
+"""DDPM / DDIM noise schedules in jnp, matching the semantics the reference
+gets from diffusers 0.11.1 (DDPMScheduler for training, DDIMScheduler for
+inference — reference train_finetune_videodiffusion.py:132,222-228 and
+pipeline_tuneeeg2video.py:284-322).
+
+Stable Diffusion v1-4 config: 1000 train timesteps, scaled_linear betas
+0.00085 -> 0.012, steps_offset 1, clip_sample False, prediction_type epsilon,
+set_alpha_to_one False.  Everything is a frozen pytree of precomputed tables
++ pure functions, so the whole denoise loop jits as one ``lax.scan``
+(SURVEY.md section 7 step 8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def make_beta_schedule(
+    num_train_timesteps: int = 1000,
+    beta_start: float = 0.00085,
+    beta_end: float = 0.012,
+    schedule: str = "scaled_linear",
+) -> np.ndarray:
+    if schedule == "linear":
+        return np.linspace(beta_start, beta_end, num_train_timesteps, dtype=np.float64)
+    if schedule == "scaled_linear":
+        return (
+            np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps, dtype=np.float64) ** 2
+        )
+    raise ValueError(f"unknown beta schedule '{schedule}'")
+
+
+def _extract(table, t, ndim):
+    """Gather per-timestep scalars and broadcast to an ndim-shaped batch."""
+    vals = jnp.take(table, t)
+    return vals.reshape(vals.shape + (1,) * (ndim - vals.ndim))
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMSchedule:
+    """Forward (q) process + ancestral sampling tables."""
+
+    betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    num_train_timesteps: int
+
+    @classmethod
+    def create(cls, num_train_timesteps=1000, beta_start=0.00085, beta_end=0.012,
+               schedule="scaled_linear"):
+        betas = make_beta_schedule(num_train_timesteps, beta_start, beta_end, schedule)
+        ac = np.cumprod(1.0 - betas)
+        return cls(
+            betas=jnp.asarray(betas, jnp.float32),
+            alphas_cumprod=jnp.asarray(ac, jnp.float32),
+            num_train_timesteps=num_train_timesteps,
+        )
+
+    def add_noise(self, x0, noise, t):
+        """q(x_t | x_0): sqrt(ac_t) x0 + sqrt(1-ac_t) eps  (diffusers
+        DDPMScheduler.add_noise semantics; reference train L296-304)."""
+        sa = _extract(jnp.sqrt(self.alphas_cumprod), t, x0.ndim)
+        so = _extract(jnp.sqrt(1.0 - self.alphas_cumprod), t, x0.ndim)
+        return sa * x0 + so * noise
+
+    def velocity(self, x0, noise, t):
+        """v-prediction target (diffusers get_velocity)."""
+        sa = _extract(jnp.sqrt(self.alphas_cumprod), t, x0.ndim)
+        so = _extract(jnp.sqrt(1.0 - self.alphas_cumprod), t, x0.ndim)
+        return sa * noise - so * x0
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMSchedule:
+    """Deterministic DDIM sampler (eta=0) with diffusers-0.11.1 timestep
+    spacing: ``timesteps = (arange(N) * (T//N))[::-1] + steps_offset``."""
+
+    alphas_cumprod: jnp.ndarray
+    timesteps: jnp.ndarray  # descending, length = num_inference_steps
+    final_alpha_cumprod: jnp.ndarray
+    num_train_timesteps: int
+    num_inference_steps: int
+    init_noise_sigma: float = 1.0  # DDIM scale_model_input is identity
+
+    @classmethod
+    def create(cls, num_inference_steps: int, num_train_timesteps=1000,
+               beta_start=0.00085, beta_end=0.012, schedule="scaled_linear",
+               steps_offset: int = 1, set_alpha_to_one: bool = False):
+        betas = make_beta_schedule(num_train_timesteps, beta_start, beta_end, schedule)
+        ac = np.cumprod(1.0 - betas)
+        step_ratio = num_train_timesteps // num_inference_steps
+        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].copy()
+        ts = ts.astype(np.int32) + steps_offset
+        final_ac = np.float32(1.0) if set_alpha_to_one else np.float32(ac[0])
+        return cls(
+            alphas_cumprod=jnp.asarray(ac, jnp.float32),
+            timesteps=jnp.asarray(ts, jnp.int32),
+            final_alpha_cumprod=jnp.asarray(final_ac),
+            num_train_timesteps=num_train_timesteps,
+            num_inference_steps=num_inference_steps,
+        )
+
+    def step(self, model_output, t, sample):
+        """x_t -> x_{t-step_ratio} (eta=0, clip_sample=False, epsilon pred).
+
+        ``t`` may be a traced scalar — suitable for lax.scan over
+        ``self.timesteps``.
+        """
+        step_ratio = self.num_train_timesteps // self.num_inference_steps
+        prev_t = t - step_ratio
+        a_t = jnp.take(self.alphas_cumprod, t)
+        a_prev = jnp.where(prev_t >= 0, jnp.take(self.alphas_cumprod, jnp.maximum(prev_t, 0)),
+                           self.final_alpha_cumprod)
+        sqrt_a_t = jnp.sqrt(a_t)
+        sqrt_one_minus_a_t = jnp.sqrt(1.0 - a_t)
+        x0 = (sample - sqrt_one_minus_a_t * model_output) / sqrt_a_t
+        dir_xt = jnp.sqrt(1.0 - a_prev) * model_output
+        return jnp.sqrt(a_prev) * x0 + dir_xt

@@ -1,0 +1,7 @@
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_params,
+    is_host0,
+)

@@ -1,0 +1,58 @@
+"""Device mesh / sharding utilities — the TPU-native replacement for the
+reference's HF-Accelerate DDP layer (reference train_finetune_videodiffusion.py:99-102,
+240-242; SURVEY.md section 2.5).
+
+Design: a 2-D logical mesh ("dp", "tp").  Data parallelism shards the batch
+axis over "dp"; tensor parallelism shards large weight matrices over "tp"
+(used by the 387M-parameter semantic predictor and optionally the UNet).
+All collectives are mesh-axis reductions inserted by GSPMD — ICI-ridden on a
+real slice, simulated on the virtual CPU mesh in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (dp, tp) mesh.  ``dp*tp`` must equal the device count."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp*tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (batch) axis over dp, replicate the rest."""
+    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh, rules):
+    """Apply ``rules`` (a callable path -> PartitionSpec or None) to a pytree
+    of parameters and device_put accordingly.  ``None`` means replicate."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def place(path, leaf):
+        spec = rules(path) if rules is not None else None
+        return jax.device_put(leaf, NamedSharding(mesh, spec or P()))
+
+    leaves = [place(p, l) for p, l in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def is_host0() -> bool:
+    """Replacement for accelerator.is_main_process guards
+    (reference train_finetune_videodiffusion.py:123, 264)."""
+    return jax.process_index() == 0
