@@ -1,0 +1,56 @@
+"""Flash-attention kernel correctness (interpret mode on CPU) and gradients."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eeg2video_tpu.ops import fused_attention, mha_reference
+from eeg2video_tpu.ops.attention import _flash_attention
+
+
+@pytest.mark.parametrize(
+    "B,H,Lq,Lkv,D",
+    [
+        (1, 2, 256, 512, 40),    # level-0-like, padded head dim
+        (2, 2, 300, 600, 64),    # non-multiple seq lengths (mask path)
+        (1, 1, 2304, 4608, 40),  # the real sparse-causal level-0 shape
+    ],
+)
+def test_flash_matches_reference(rng, B, H, Lq, Lkv, D):
+    q = rng.standard_normal((B, H, Lq, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, Lkv, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, Lkv, D)).astype(np.float32)
+    ref = np.asarray(mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    out = np.asarray(_flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                      1.0 / np.sqrt(D)))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_dispatcher_short_seq_uses_xla(rng):
+    q = rng.standard_normal((2, 4, 6, 40)).astype(np.float32)  # temporal attn shape
+    k = rng.standard_normal((2, 4, 6, 40)).astype(np.float32)
+    v = rng.standard_normal((2, 4, 6, 40)).astype(np.float32)
+    out = fused_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    ref = mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_flash_gradients_match_reference(rng):
+    B, H, Lq, Lkv, D = 1, 2, 256, 512, 40
+    q = rng.standard_normal((B, H, Lq, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, Lkv, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, Lkv, D)).astype(np.float32)
+    scale = 1.0 / np.sqrt(D)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_flash_attention(q, k, v, scale) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, scale) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
