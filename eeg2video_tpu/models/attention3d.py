@@ -1,0 +1,190 @@
+"""Pseudo-3D transformer blocks of the video UNet.
+
+Reference: EEG2Video_New/Generation/models/attention.py — Transformer3DModel
+(L31-136), BasicTransformerBlock with its three attentions (L139-269),
+SparseCausalAttention (L272-328).
+
+All attention math routes through ops.fused_attention (one Pallas flash
+kernel + XLA short-path, replacing xformers/attention-slicing):
+- attn1: sparse-causal self-attention — K/V are the concatenation of
+  frame-0 and previous-frame tokens (attention.py:292-301), built by a
+  static frame gather then flash-attended (gather-then-flash,
+  SURVEY.md section 7).
+- attn2: cross-attention over the 77x768 text/EEG context.
+- attn_temp: self-attention over the frame axis with zero-initialized
+  output projection (attention.py:193-201) so a freshly inflated model
+  reproduces the 2-D UNet exactly.
+
+Activations are (B, F, L, C) where L = H*W spatial tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import fused_attention
+
+
+class Attention(nn.Module):
+    """diffusers-0.11 CrossAttention: to_q/k/v (no bias) + to_out Dense.
+
+    ``context`` defaults to self-attention.  Input (N, L, C) -> (N, L, C).
+    """
+
+    heads: int
+    head_dim: int
+    out_features: Optional[int] = None
+    zero_init_out: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context=None, *, kv=None):
+        inner = self.heads * self.head_dim
+        out_features = self.out_features or x.shape[-1]
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        src = x if context is None else context
+        if kv is None:
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(src)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(src)
+        else:
+            k, v = kv
+        n, lq = q.shape[0], q.shape[1]
+        lk = k.shape[1]
+
+        def split(t, l):
+            return t.reshape(n, l, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        out = fused_attention(split(q, lq), split(k, lk), split(v, lk))
+        out = out.transpose(0, 2, 1, 3).reshape(n, lq, inner)
+        init = nn.initializers.zeros if self.zero_init_out else None
+        dense = nn.Dense(
+            out_features, dtype=self.dtype, name="to_out",
+            **({"kernel_init": init} if init else {}),
+        )
+        return dense(out)
+
+    def project_kv(self, x):
+        """Expose raw K/V projections (used by sparse-causal gathering)."""
+        inner = self.heads * self.head_dim
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        return k, v
+
+
+class SparseCausalAttention(nn.Module):
+    """Self-attention whose K/V tokens come from frame 0 and the previous
+    frame (attention.py:272-328).  Input (B, F, L, C)."""
+
+    heads: int
+    head_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, l, c = x.shape
+        inner = self.heads * self.head_dim
+        flat = x.reshape(b * f, l, c)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(flat)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(flat)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(flat)
+
+        # frame gather: K/V_f := concat(K/V_frame0, K/V_{f-1}) (L292-301)
+        prev = jnp.maximum(jnp.arange(f) - 1, 0)
+        first = jnp.zeros((f,), jnp.int32)
+
+        def gather_frames(t):
+            t = t.reshape(b, f, l, inner)
+            return jnp.concatenate([t[:, first], t[:, prev]], axis=2).reshape(b * f, 2 * l, inner)
+
+        kg, vg = gather_frames(k), gather_frames(v)
+
+        def split(t, ln):
+            return t.reshape(b * f, ln, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        out = fused_attention(split(q, l), split(kg, 2 * l), split(vg, 2 * l))
+        out = out.transpose(0, 2, 1, 3).reshape(b, f, l, inner)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """diffusers FeedForward with geglu: Dense(2*4C) -> x*gelu(gate) -> Dense(C)."""
+
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        c = x.shape[-1]
+        inner = c * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return nn.Dense(c, dtype=self.dtype, name="out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """SparseCausal -> Cross -> FF -> Temporal, each pre-LN with residual
+    (attention.py:139-269).  Input (B, F, L, C), context (B, S, D)."""
+
+    heads: int
+    head_dim: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context, *, train: bool = False):
+        b, f, l, c = x.shape
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + SparseCausalAttention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(h)
+
+        # cross-attention: context broadcast per frame (attention.py:94)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        ctx = jnp.repeat(context, f, axis=0)  # (B*F, S, D)
+        out = Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")(
+            h.reshape(b * f, l, c), ctx
+        )
+        x = x + out.reshape(b, f, l, c)
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        x = x + GEGLUFeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(h, train=train)
+
+        # temporal attention over the frame axis (attention.py:260-267):
+        # (B, F, L, C) -> (B*L, F, C)
+        t = x.transpose(0, 2, 1, 3).reshape(b * l, f, c)
+        ht = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_temp")(t)
+        t = t + Attention(
+            self.heads, self.head_dim, zero_init_out=True, dtype=self.dtype, name="attn_temp"
+        )(ht)
+        return t.reshape(b, l, f, c).transpose(0, 2, 1, 3)
+
+
+class Transformer3DModel(nn.Module):
+    """GroupNorm -> 1x1 proj_in -> N blocks -> 1x1 proj_out -> +residual
+    (attention.py:31-136).  Input (B, F, H, W, C) + context (B, S, D)."""
+
+    heads: int
+    head_dim: int
+    num_layers: int = 1
+    groups: int = 32
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, context, *, train: bool = False):
+        b, f, hh, ww, c = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        inner = self.heads * self.head_dim
+        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h.reshape(b * f, hh, ww, c))
+        tokens = h.reshape(b, f, hh * ww, inner)
+        for i in range(self.num_layers):
+            tokens = BasicTransformerBlock(
+                self.heads, self.head_dim, dtype=self.dtype, name=f"block{i}"
+            )(tokens, context, train=train)
+        h = tokens.reshape(b * f, hh, ww, inner)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return residual + h.reshape(b, f, hh, ww, c)

@@ -1,0 +1,147 @@
+"""UNet3DConditionModel — the SD-1.4 UNet inflated to pseudo-3D, in Flax.
+
+Reference: EEG2Video_New/Generation/models/unet.py:37-413 (architecture and
+forward orchestration) and :415-449 (2D->3D checkpoint inflation, implemented
+in convert/unet_params.py).
+
+Config fixed to the SD-1.4 shape the reference uses (unet.py:40-78):
+in/out 4 channels, blocks (320, 640, 1280, 1280), 2 layers per block,
+3x CrossAttnDownBlock3D + DownBlock3D down, UpBlock3D + 3x CrossAttnUpBlock3D
+up, mid UNetMidBlock3DCrossAttn, cross_attention_dim 768, 8 attention heads.
+
+I/O contract (channels-last): sample (B, F, H, W, C_in), timesteps (B,) or
+scalar, context (B, S, 768) -> (B, F, H, W, C_out).  The torch-facing
+pipeline wrappers rearrange from/to the reference's (B, C, F, H, W).
+
+``remat`` wraps each down/mid/up block in jax.checkpoint — the XLA-native
+equivalent of the reference's gradient checkpointing (unet.py:274-276).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .unet_blocks import (
+    CrossAttnDownBlock3D,
+    CrossAttnUpBlock3D,
+    DownBlock3D,
+    UNetMidBlock3DCrossAttn,
+    UpBlock3D,
+)
+from .resnet3d import PseudoConv3d
+
+
+@dataclasses.dataclass(frozen=True)
+class UNet3DConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    attention_heads: int = 8
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    freq_shift: int = 0
+    flip_sin_to_cos: bool = True
+
+    @classmethod
+    def tiny(cls):
+        """Small config for tests."""
+        return cls(block_out_channels=(32, 64, 64, 64), attention_heads=4,
+                   cross_attention_dim=16, norm_num_groups=8)
+
+
+def timestep_embedding(timesteps, dim: int, flip_sin_to_cos=True, freq_shift=0,
+                       max_period=10000.0, dtype=jnp.float32):
+    """diffusers get_timestep_embedding semantics (used via Timesteps,
+    reference unet.py:88,339)."""
+    half = dim // 2
+    exponent = -np.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    return emb.astype(dtype)
+
+
+class UNet3DConditionModel(nn.Module):
+    config: UNet3DConfig = UNet3DConfig()
+    dtype: Optional[jnp.dtype] = None
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, sample, timesteps, context, *, train: bool = False):
+        cfg = self.config
+        b = sample.shape[0]
+        if jnp.ndim(timesteps) == 0:
+            timesteps = jnp.broadcast_to(timesteps, (b,))
+
+        # time embedding: sinusoidal -> Dense -> SiLU -> Dense (unet.py:88-91)
+        t_emb = timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift,
+            dtype=self.dtype or jnp.float32,
+        )
+        temb = nn.Dense(cfg.block_out_channels[0] * 4, dtype=self.dtype, name="time_embed_1")(t_emb)
+        temb = nn.Dense(cfg.block_out_channels[0] * 4, dtype=self.dtype, name="time_embed_2")(nn.silu(temb))
+
+        def maybe_remat(mod_cls):
+            return nn.remat(mod_cls, static_argnums=()) if self.remat else mod_cls
+
+        x = PseudoConv3d(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(sample)
+
+        # down path (unet.py:113-139, 361-373)
+        skips = (x,)
+        n_blocks = len(cfg.block_out_channels)
+        for i, ch in enumerate(cfg.block_out_channels):
+            is_final = i == n_blocks - 1
+            if not is_final:
+                block = maybe_remat(CrossAttnDownBlock3D)(
+                    ch, cfg.layers_per_block, cfg.attention_heads,
+                    add_downsample=True, dtype=self.dtype, name=f"down{i}",
+                )
+                x, states = block(x, temb, context, train=train)
+            else:
+                block = maybe_remat(DownBlock3D)(
+                    ch, cfg.layers_per_block, add_downsample=False,
+                    dtype=self.dtype, name=f"down{i}",
+                )
+                x, states = block(x, temb, train=train)
+            skips += states
+
+        # mid (unet.py:142-156, 376-378)
+        x = maybe_remat(UNetMidBlock3DCrossAttn)(
+            cfg.block_out_channels[-1], attn_heads=cfg.attention_heads,
+            dtype=self.dtype, name="mid",
+        )(x, temb, context, train=train)
+
+        # up path (unet.py:163-202, 381-404); layers_per_block + 1 resnets
+        rev = list(reversed(cfg.block_out_channels))
+        n_up = cfg.layers_per_block + 1
+        for i, ch in enumerate(rev):
+            is_final = i == n_blocks - 1
+            res_skips = skips[-n_up:]
+            skips = skips[:-n_up]
+            upsample_size = None if is_final else skips[-1].shape[2:4]
+            if i == 0:
+                block = maybe_remat(UpBlock3D)(
+                    ch, n_up, add_upsample=not is_final, dtype=self.dtype, name=f"up{i}",
+                )
+                x = block(x, res_skips, temb, upsample_size, train=train)
+            else:
+                block = maybe_remat(CrossAttnUpBlock3D)(
+                    ch, n_up, cfg.attention_heads, add_upsample=not is_final,
+                    dtype=self.dtype, name=f"up{i}",
+                )
+                x = block(x, res_skips, temb, context, upsample_size, train=train)
+
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
+                         dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        return PseudoConv3d(cfg.out_channels, dtype=self.dtype, name="conv_out")(x)
