@@ -1,0 +1,143 @@
+"""Generation pipelines — the TPU re-design of the reference's
+``TuneAVideoPipeline`` pair (reference EEG2Video_New/Generation/pipelines/
+pipeline_tuneeeg2video.py:46-340 EEG-conditioned, pipeline_tuneavideo.py
+text-conditioned).
+
+Where the reference runs a Python DDIM loop with 2 CUDA UNet calls per step
+(pipeline_tuneeeg2video.py:308-328), here the entire sample path — latent
+prep, DDIM loop with the CFG pair batched, and VAE decode — is ONE jitted
+function: the loop is a ``lax.scan`` over the timestep table, there are zero
+host syncs, and everything runs in bf16 with f32 scheduler math.
+
+API contract kept from the reference (SURVEY.md 2.4): conditioning is a
+precomputed (B, 77*768) semantic embedding (reference `_encode_eeg`
+L155-170); ``latents`` may be fresh noise (woSeq2Seq), Seq2Seq output
+(woDANA), or DANA-noised latents (full model); negative embedding for CFG.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.unet3d import UNet3DConditionModel, UNet3DConfig
+from ..models.vae import AutoencoderKL, VAEConfig, SD_VAE_SCALE
+from .schedulers import DDIMSchedule
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet", "vae", "dtype", "video_length", "height",
+                     "width", "num_inference_steps", "decode"),
+)
+def _sample(unet, vae, dtype, unet_params, vae_params, embeddings, negative,
+            latents, key, video_length, height, width, num_inference_steps,
+            guidance_scale, decode):
+    sched = DDIMSchedule.create(num_inference_steps)
+    b = embeddings.shape[0]
+    h8, w8 = height // 8, width // 8
+
+    emb = embeddings.reshape(b, 77, 768).astype(dtype)
+    neg = jnp.broadcast_to(negative.reshape(1, 77, 768), (b, 77, 768)).astype(dtype)
+    context = jnp.concatenate([neg, emb], axis=0)  # CFG pair batched
+
+    if latents is None:
+        latents = jax.random.normal(key, (b, video_length, h8, w8, 4), jnp.float32)
+    latents = latents.astype(jnp.float32) * sched.init_noise_sigma
+
+    def step(lat, t):
+        inp = jnp.concatenate([lat, lat], axis=0).astype(dtype)
+        eps = unet.apply(
+            {"params": unet_params}, inp, jnp.broadcast_to(t, (2 * b,)), context
+        ).astype(jnp.float32)
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        eps_g = eps_u + guidance_scale * (eps_c - eps_u)
+        return sched.step(eps_g, t, lat), None
+
+    latents, _ = jax.lax.scan(step, latents, sched.timesteps)
+
+    if not decode:
+        return latents
+    # VAE decode, frames folded into batch (pipeline_tuneeeg2video.py:172-181)
+    z = (latents / SD_VAE_SCALE).astype(dtype)
+    frames = z.reshape(b * video_length, h8, w8, 4)
+    video = vae.apply({"params": vae_params}, frames, method=AutoencoderKL.decode)
+    video = (video.astype(jnp.float32) / 2 + 0.5).clip(0.0, 1.0)
+    return video.reshape(b, video_length, height, width, 3)
+
+
+@dataclasses.dataclass
+class EEG2VideoPipeline:
+    """EEG/semantic-embedding conditioned video generation."""
+
+    unet: UNet3DConditionModel
+    unet_params: dict
+    vae: AutoencoderKL
+    vae_params: dict
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @classmethod
+    def create(cls, unet_params, vae_params,
+               unet_config: UNet3DConfig = UNet3DConfig(),
+               vae_config: VAEConfig = VAEConfig(),
+               dtype=jnp.bfloat16):
+        cast = lambda t: jax.tree.map(lambda x: jnp.asarray(x, dtype), t)
+        return cls(
+            unet=UNet3DConditionModel(unet_config, dtype=dtype),
+            unet_params=cast(unet_params),
+            vae=AutoencoderKL(vae_config, dtype=dtype),
+            vae_params=cast(vae_params),
+            dtype=dtype,
+        )
+
+    def __call__(self, embeddings, negative, *, latents=None, key=None,
+                 video_length=6, height=288, width=512,
+                 num_inference_steps=50, guidance_scale=7.5, decode=True):
+        """Generate videos.
+
+        embeddings: (B, 77*768) or (B, 77, 768) semantic embeddings
+        negative:   (77*768,) CFG negative embedding (reference uses the mean
+                    embedding or the committed negative.npy artifact)
+        latents:    optional (B, F, H/8, W/8, 4) channels-last initial latents
+                    (use latents_from_torch_layout for reference-format files)
+        returns (B, F, H, W, 3) float32 in [0, 1], or latents if decode=False
+        """
+        if key is None:
+            key = jax.random.key(0)
+        embeddings = jnp.asarray(embeddings)
+        if embeddings.ndim == 3:
+            embeddings = embeddings.reshape(embeddings.shape[0], -1)
+        if latents is not None:
+            latents = jnp.asarray(latents)
+        return _sample(
+            self.unet, self.vae, self.dtype, self.unet_params, self.vae_params,
+            embeddings, jnp.asarray(negative), latents, key, video_length,
+            height, width, num_inference_steps, jnp.float32(guidance_scale),
+            decode,
+        )
+
+
+def latents_from_torch_layout(x):
+    """Reference latent artifacts are rearranged 'a b c d e -> a c b d e'
+    before the pipeline (inference_eeg2video.py:63,69), i.e. files store
+    (B, F, C, H, W) and the pipeline wants (B, C, F, H, W).  Accepts either
+    and returns channels-last (B, F, H, W, C)."""
+    x = np.asarray(x)
+    if x.shape[1] == 4 and x.shape[2] != 4:  # (B, C, F, H, W)
+        x = np.transpose(x, (0, 2, 3, 4, 1))
+    elif x.shape[2] == 4:  # (B, F, C, H, W)
+        x = np.transpose(x, (0, 1, 3, 4, 2))
+    else:
+        raise ValueError(f"unrecognized latent layout {x.shape}")
+    return x
+
+
+def video_to_torch_layout(video):
+    """(B, F, H, W, 3) -> the reference pipeline output layout (B, 3, F, H, W)
+    (pipeline_tuneeeg2video.py:177)."""
+    return np.transpose(np.asarray(video), (0, 4, 1, 2, 3))

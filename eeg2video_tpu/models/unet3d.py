@@ -105,21 +105,22 @@ class UNet3DConditionModel(nn.Module):
                 block = maybe_remat(CrossAttnDownBlock3D)(
                     ch, cfg.layers_per_block, cfg.attention_heads,
                     add_downsample=True, dtype=self.dtype, name=f"down{i}",
+                    train=train,
                 )
-                x, states = block(x, temb, context, train=train)
+                x, states = block(x, temb, context)
             else:
                 block = maybe_remat(DownBlock3D)(
                     ch, cfg.layers_per_block, add_downsample=False,
-                    dtype=self.dtype, name=f"down{i}",
+                    dtype=self.dtype, name=f"down{i}", train=train,
                 )
-                x, states = block(x, temb, train=train)
+                x, states = block(x, temb)
             skips += states
 
         # mid (unet.py:142-156, 376-378)
         x = maybe_remat(UNetMidBlock3DCrossAttn)(
             cfg.block_out_channels[-1], attn_heads=cfg.attention_heads,
-            dtype=self.dtype, name="mid",
-        )(x, temb, context, train=train)
+            dtype=self.dtype, name="mid", train=train,
+        )(x, temb, context)
 
         # up path (unet.py:163-202, 381-404); layers_per_block + 1 resnets
         rev = list(reversed(cfg.block_out_channels))
@@ -128,18 +129,20 @@ class UNet3DConditionModel(nn.Module):
             is_final = i == n_blocks - 1
             res_skips = skips[-n_up:]
             skips = skips[:-n_up]
-            upsample_size = None if is_final else skips[-1].shape[2:4]
+            upsample_size = None if is_final else tuple(skips[-1].shape[2:4])
             if i == 0:
                 block = maybe_remat(UpBlock3D)(
-                    ch, n_up, add_upsample=not is_final, dtype=self.dtype, name=f"up{i}",
+                    ch, n_up, add_upsample=not is_final, dtype=self.dtype,
+                    name=f"up{i}", train=train, upsample_size=upsample_size,
                 )
-                x = block(x, res_skips, temb, upsample_size, train=train)
+                x = block(x, res_skips, temb)
             else:
                 block = maybe_remat(CrossAttnUpBlock3D)(
                     ch, n_up, cfg.attention_heads, add_upsample=not is_final,
-                    dtype=self.dtype, name=f"up{i}",
+                    dtype=self.dtype, name=f"up{i}", train=train,
+                    upsample_size=upsample_size,
                 )
-                x = block(x, res_skips, temb, context, upsample_size, train=train)
+                x = block(x, res_skips, temb, context)
 
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
                          dtype=self.dtype, name="conv_norm_out")(x)

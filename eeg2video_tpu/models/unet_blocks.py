@@ -27,9 +27,11 @@ class CrossAttnDownBlock3D(nn.Module):
     attn_heads: int = 8
     add_downsample: bool = True
     dtype: Optional[jnp.dtype] = None
+    train: bool = False  # attribute (static) so remat sees no bool args
 
     @nn.compact
-    def __call__(self, x, temb, context, *, train: bool = False):
+    def __call__(self, x, temb, context):
+        train = self.train
         states = ()
         head_dim = self.features // self.attn_heads
         for i in range(self.n_layers):
@@ -49,9 +51,11 @@ class DownBlock3D(nn.Module):
     n_layers: int = 2
     add_downsample: bool = True
     dtype: Optional[jnp.dtype] = None
+    train: bool = False
 
     @nn.compact
-    def __call__(self, x, temb, *, train: bool = False):
+    def __call__(self, x, temb):
+        train = self.train
         states = ()
         for i in range(self.n_layers):
             x = ResnetBlock3D(self.features, dtype=self.dtype, name=f"resnet{i}")(x, temb, train=train)
@@ -67,9 +71,11 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     n_layers: int = 1
     attn_heads: int = 8
     dtype: Optional[jnp.dtype] = None
+    train: bool = False
 
     @nn.compact
-    def __call__(self, x, temb, context, *, train: bool = False):
+    def __call__(self, x, temb, context):
+        train = self.train
         head_dim = self.features // self.attn_heads
         x = ResnetBlock3D(self.features, dtype=self.dtype, name="resnet0")(x, temb, train=train)
         for i in range(self.n_layers):
@@ -86,9 +92,13 @@ class CrossAttnUpBlock3D(nn.Module):
     attn_heads: int = 8
     add_upsample: bool = True
     dtype: Optional[jnp.dtype] = None
+    train: bool = False
+    upsample_size: Optional[Tuple[int, int]] = None  # static under remat
 
     @nn.compact
-    def __call__(self, x, skips: Tuple, temb, context, upsample_size=None, *, train: bool = False):
+    def __call__(self, x, skips: Tuple, temb, context):
+        train = self.train
+        upsample_size = self.upsample_size
         head_dim = self.features // self.attn_heads
         for i in range(self.n_layers):
             skip = skips[-1]
@@ -108,9 +118,13 @@ class UpBlock3D(nn.Module):
     n_layers: int = 3
     add_upsample: bool = True
     dtype: Optional[jnp.dtype] = None
+    train: bool = False
+    upsample_size: Optional[Tuple[int, int]] = None  # static under remat
 
     @nn.compact
-    def __call__(self, x, skips: Tuple, temb, upsample_size=None, *, train: bool = False):
+    def __call__(self, x, skips: Tuple, temb):
+        train = self.train
+        upsample_size = self.upsample_size
         for i in range(self.n_layers):
             skip = skips[-1]
             skips = skips[:-1]

@@ -1,0 +1,6 @@
+from .videodiffusion import (
+    VideoDiffusionTrainConfig,
+    make_video_train_step,
+    init_video_train_state,
+    unet_tp_rules,
+)
