@@ -1,0 +1,104 @@
+"""CLI: end-to-end EEG -> video generation (the product "serve" path).
+
+Contract of reference EEG2Video_New/Generation/inference_eeg2video.py:
+semantic-embedding file (200, 77*768); negative = its mean (L45); latent
+source ablations --woSeq2Seq (fresh noise) / --woDANA (Seq2Seq latents) /
+default full model (DANA latents); 100 DDIM steps, guidance 12.5, 6 frames @
+288x512 (L74-86); GIFs via save_videos_grid.
+
+TPU redesign: clips are processed in jitted batches (default 8 per call)
+instead of the reference's one-clip-per-pipe-call Python loop."""
+
+import argparse
+import os
+
+import numpy as np
+import jax
+
+from ..data.io import load_array
+from ..data.video import save_videos_grid
+from ..diffusion.pipeline import EEG2VideoPipeline, latents_from_torch_layout
+from ..models.unet3d import UNet3DConfig
+from ..models.vae import VAEConfig
+from ..train import checkpoint as ckpt
+from ..utils import get_logger
+
+log = get_logger(__name__)
+
+
+def load_pipeline(unet_dir, vae_ckpt, dtype="bfloat16"):
+    """Build the pipeline from converted checkpoints: ``unet_dir`` may be an
+    orbax dir (our training output) or a torch diffusers .bin via
+    --torch flags handled by convert.unet_params."""
+    import jax.numpy as jnp
+
+    ucfg, vcfg = UNet3DConfig(), VAEConfig()
+    if os.path.isdir(os.path.join(unet_dir, "ckpt")) or os.path.isdir(unet_dir):
+        unet_params, _ = ckpt.restore_checkpoint(
+            unet_dir if os.path.basename(unet_dir) == "ckpt" else os.path.join(unet_dir, "ckpt"))
+        if unet_params is None:
+            raise SystemExit(f"no UNet checkpoint in {unet_dir}")
+        if "params" in unet_params:
+            unet_params = unet_params["params"]
+    else:
+        raise SystemExit(f"unet checkpoint not found: {unet_dir}")
+    vae_params = ckpt.restore_checkpoint(vae_ckpt)[0]
+    if vae_params is None:
+        raise SystemExit(f"no VAE checkpoint in {vae_ckpt}")
+    if "params" in vae_params:
+        vae_params = vae_params["params"]
+    return EEG2VideoPipeline.create(unet_params, vae_params, ucfg, vcfg,
+                                    dtype=jnp.dtype(dtype))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--embeddings", default="./outputs/semantic/semantic_embeddings.npy")
+    p.add_argument("--unet", default="./outputs/tuneavideo")
+    p.add_argument("--vae", default="./checkpoints/vae/ckpt")
+    p.add_argument("--seq2seq_latents", default="./outputs/seq2seq/latent_out_block7_40_classes.npy")
+    p.add_argument("--dana_latents", default="./outputs/dana/40_classes_latent_add_noise.pt")
+    p.add_argument("--woSeq2Seq", action="store_true", help="fresh-noise latents")
+    p.add_argument("--woDANA", action="store_true", help="raw Seq2Seq latents")
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--num_inference_steps", type=int, default=100)
+    p.add_argument("--guidance_scale", type=float, default=12.5)
+    p.add_argument("--height", type=int, default=288)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--video_length", type=int, default=6)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seed", type=int, default=114514)
+    args = p.parse_args(argv)
+
+    emb = load_array(args.embeddings).reshape(-1, 77 * 768).astype(np.float32)
+    negative = emb.mean(axis=0)  # reference L45
+
+    if args.woSeq2Seq:
+        latents, tag = None, "40_Classes_woSeq2Seq"
+    elif args.woDANA:
+        latents = latents_from_torch_layout(load_array(args.seq2seq_latents))
+        tag = "40_Classes_woDANA"
+    else:
+        latents = latents_from_torch_layout(load_array(args.dana_latents))
+        tag = "40_Classes_Fullmodel"
+    out_dir = args.out_dir or f"./outputs/{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    pipe = load_pipeline(args.unet, args.vae)
+    key = jax.random.key(args.seed)
+    n = len(emb)
+    for s in range(0, n, args.batch):
+        e = emb[s:s + args.batch]
+        lat = None if latents is None else latents[s:s + args.batch]
+        videos = pipe(e, negative, latents=lat, key=jax.random.fold_in(key, s),
+                      video_length=args.video_length, height=args.height,
+                      width=args.width, num_inference_steps=args.num_inference_steps,
+                      guidance_scale=args.guidance_scale)
+        videos = np.asarray(videos)
+        for j in range(len(e)):
+            save_videos_grid(videos[j:j + 1], os.path.join(out_dir, f"{s + j}.gif"))
+        log.info("clips %d..%d -> %s", s, s + len(e) - 1, out_dir)
+
+
+if __name__ == "__main__":
+    main()

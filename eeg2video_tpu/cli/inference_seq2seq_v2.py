@@ -1,0 +1,61 @@
+"""CLI: Seq2Seq inference -> predicted latents
+(reference README Seq2Seq inference contract incl. --stats_path restore)."""
+
+import argparse
+import os
+
+import numpy as np
+
+from ..data.io import load_array, save_array
+from ..models.seq2seq import Seq2SeqTransformer
+from ..train import checkpoint as ckpt
+from ..train.seq2seq import prepare_seq2seq_data, rollout_latents
+from ..utils import get_logger
+
+log = get_logger(__name__)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--eeg", default="./data/Preprocessing/Segmented_Rawf_200Hz_2s/sub1.npy")
+    p.add_argument("--train_latents", default="./data/1200_latent.npy",
+                   help="needed to refit the EEG scaler exactly as in training")
+    p.add_argument("--test_latents", default="./data/40classes_latents.pt")
+    p.add_argument("--ckpt", default="./outputs/seq2seq/ckpt")
+    p.add_argument("--torch_ckpt", default=None,
+                   help="load a reference seq2seqmodel.pt instead of --ckpt")
+    p.add_argument("--stats_path", default=None,
+                   help="stats.npz to restore latent scale (--normalize training)")
+    p.add_argument("--out", default="./outputs/seq2seq/latent_out_block7_40_classes.npy")
+    args = p.parse_args(argv)
+
+    eeg = load_array(args.eeg)
+    tr_lat = load_array(args.train_latents)
+    te_lat = load_array(args.test_latents)
+    _, _, te_eeg, _, _ = prepare_seq2seq_data(eeg, tr_lat, te_lat)
+
+    if args.torch_ckpt:
+        from ..convert.seq2seq_params import seq2seq_params_from_torch
+
+        variables = seq2seq_params_from_torch(ckpt.load_torch_state_dict(args.torch_ckpt))
+    else:
+        import jax, jax.numpy as jnp
+
+        model = Seq2SeqTransformer()
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), jnp.zeros((1, 7, 62, 100))))
+        variables, step = ckpt.restore_checkpoint(args.ckpt, template=template)
+        if variables is None:
+            raise SystemExit(f"no checkpoint found in {args.ckpt}")
+        log.info("restored step %s", step)
+
+    out = rollout_latents(variables, te_eeg)
+    if args.stats_path:
+        z = np.load(args.stats_path)
+        out = out * z["std_z"] + z["mean_z"]
+    save_array(args.out, out)
+    log.info("predicted latents %s -> %s", out.shape, args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""CLI: segment raw SEED-DV EEG into (7, 40, 5, 62, 400) arrays.
+
+Contract of reference EEG_preprocessing/segment_raw_signals_200Hz.py
+(defaults included), vectorised on device instead of the triple Python loop.
+"""
+
+import argparse
+
+import numpy as np
+
+from ..data.io import save_array, subject_files
+from ..dsp import segment_subject
+from ..utils import get_logger
+
+log = get_logger(__name__)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--eeg_root", default="./data/EEG")
+    p.add_argument("--output_dir", default="./data/Preprocessing/Segmented_Rawf_200Hz_2s")
+    p.add_argument("--fs", type=int, default=200)
+    p.add_argument("--subs", type=int, nargs="*", default=None)
+    args = p.parse_args(argv)
+
+    for sub, path in subject_files(args.eeg_root, args.subs):
+        data = np.load(path)
+        segs = np.asarray(segment_subject(data, fs=args.fs))
+        out = f"{args.output_dir}/sub{sub}.npy"
+        save_array(out, segs.astype(data.dtype))
+        log.info("sub%d -> %s %s", sub, out, segs.shape)
+
+
+if __name__ == "__main__":
+    main()

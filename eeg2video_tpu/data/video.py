@@ -1,0 +1,176 @@
+"""Video/GIF IO: block-video -> per-clip GIF extraction and clip loading.
+
+Reference: EEG2Video/extract_gif.py — cv2 frame walk over the 7 block mp4s
+(L21-37), boolean frame schedule (per concept: 3 s hint zeroed, 5x2 s clips
+labeled 1..5 at 24 fps, L42-45), BGR->RGB (L56), resize to 512x288 (L60),
+take every 8th of the 48 clip frames -> 6 frames (L70-71), GIF at
+duration 0.333 (L76).
+
+Also replaces the reference's decord-based training dataset loader
+(EEG2Video_New/Generation/tuneavideo/data/dataset.py) with cv2 (decord is
+not available here): resize at decode, every ``sample_frame_rate``-th frame,
+first ``n_sample_frames``, normalize to [-1, 1].
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from . import meta
+
+
+def clip_frame_schedule(fps: int = meta.VIDEO_FPS,
+                        n_concepts: int = meta.N_CONCEPTS,
+                        reps: int = meta.N_REPS):
+    """Per-frame clip id (0 = hint/discard, 1..5 = repetition) for one block
+    (reference extract_gif.py:42-45)."""
+    per_concept = []
+    per_concept += [0] * (meta.BASELINE_SEC * fps)
+    for rep in range(1, reps + 1):
+        per_concept += [rep] * (meta.CLIP_SEC * fps)
+    return np.tile(np.asarray(per_concept, np.int32), n_concepts)
+
+
+def read_video_frames(path: str, resize_hw: Optional[tuple] = None):
+    """Decode all frames of a video as RGB uint8 (cv2)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if resize_hw is not None:
+            h, w = resize_hw
+            frame = cv2.resize(frame, (w, h))
+        frames.append(frame)
+    cap.release()
+    return np.stack(frames) if frames else np.zeros((0,), np.uint8)
+
+
+def extract_gifs_from_block(video_path: str, out_dir: str,
+                            height: int = meta.GIF_HEIGHT,
+                            width: int = meta.GIF_WIDTH,
+                            take_every: int = 8,
+                            duration: float = 0.333):
+    """One block mp4 -> 200 six-frame GIFs (reference extract_gif.py):
+    for each (concept, rep) clip of 48 frames keep every 8th -> 6 frames at
+    288x512, saved as ``{clip_index}.gif`` in presentation order."""
+    import cv2
+    import imageio
+
+    os.makedirs(out_dir, exist_ok=True)
+    schedule = clip_frame_schedule()
+    cap = cv2.VideoCapture(video_path)
+    clip_frames: List[np.ndarray] = []
+    clip_idx = 0
+    frame_i = 0
+    prev_id = 0
+    written = []
+    while True:
+        ok, frame = cap.read()
+        if not ok or frame_i >= len(schedule):
+            break
+        cid = schedule[frame_i]
+        if cid != prev_id and clip_frames:
+            _write_gif(clip_frames, out_dir, clip_idx, take_every, duration)
+            written.append(clip_idx)
+            clip_idx += 1
+            clip_frames = []
+        if cid > 0:
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            clip_frames.append(cv2.resize(rgb, (width, height)))
+        prev_id = cid
+        frame_i += 1
+    cap.release()
+    if clip_frames:
+        _write_gif(clip_frames, out_dir, clip_idx, take_every, duration)
+        written.append(clip_idx)
+    return written
+
+
+def _write_gif(frames, out_dir, idx, take_every, duration):
+    import imageio
+
+    sel = frames[::take_every][:meta.GIF_FRAMES]
+    imageio.mimsave(os.path.join(out_dir, f"{idx}.gif"), sel, duration=duration)
+
+
+def load_gif(path: str) -> np.ndarray:
+    """GIF -> (F, H, W, 3) uint8."""
+    import imageio
+
+    frames = imageio.mimread(path)
+    return np.stack([f[..., :3] for f in frames])
+
+
+class VideoClipDataset:
+    """Training clip loader (replaces reference TuneMultiVideoDataset,
+    dataset.py:52-88): per item decode a video, resize to (width, height),
+    take every ``sample_frame_rate``-th frame, first ``n_sample_frames``,
+    scale to [-1, 1].  Emits channels-last (F, H, W, 3) float32 plus the
+    pre-tokenized prompt ids/embedding index."""
+
+    def __init__(self, video_paths: List[str], prompt_ids: np.ndarray,
+                 width: int = 512, height: int = 288,
+                 n_sample_frames: int = 6, sample_frame_rate: int = 8,
+                 sample_start_idx: int = 0):
+        assert len(video_paths) == len(prompt_ids)
+        self.video_paths = list(video_paths)
+        self.prompt_ids = np.asarray(prompt_ids)
+        self.width, self.height = width, height
+        self.n_sample_frames = n_sample_frames
+        self.sample_frame_rate = sample_frame_rate
+        self.sample_start_idx = sample_start_idx
+
+    def __len__(self):
+        return len(self.video_paths)
+
+    def __getitem__(self, i):
+        frames = read_video_frames(self.video_paths[i], resize_hw=(self.height, self.width))
+        idx = np.arange(self.sample_start_idx, len(frames), self.sample_frame_rate)
+        idx = idx[: self.n_sample_frames]
+        clip = frames[idx].astype(np.float32) / 127.5 - 1.0
+        return {"pixel_values": clip, "prompt_ids": self.prompt_ids[i]}
+
+    def batches(self, batch_size: int, shuffle=True, seed=0, drop_last=True):
+        """Simple host-side batch iterator (replaces torch DataLoader)."""
+        order = np.arange(len(self))
+        rng = np.random.default_rng(seed)
+        while True:
+            if shuffle:
+                rng.shuffle(order)
+            for s in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
+                items = [self[int(j)] for j in order[s:s + batch_size]]
+                if len(items) < batch_size and drop_last:
+                    continue
+                yield {
+                    "pixel_values": np.stack([it["pixel_values"] for it in items]),
+                    "prompt_ids": np.stack([it["prompt_ids"] for it in items]),
+                }
+            if not shuffle:
+                return
+
+
+def save_videos_grid(videos: np.ndarray, path: str, n_rows: int = 4,
+                     fps: int = 3):
+    """(B, F, H, W, 3) in [0,1] -> grid GIF (reference tuneavideo/util.py:20-32)."""
+    import imageio
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    b, f, h, w, c = videos.shape
+    cols = min(n_rows, b)
+    rows = (b + cols - 1) // cols
+    frames = []
+    for t in range(f):
+        grid = np.zeros((rows * h, cols * w, c), np.float32)
+        for i in range(b):
+            r, cc = divmod(i, cols)
+            grid[r * h:(r + 1) * h, cc * w:(cc + 1) * w] = videos[i, t]
+        frames.append((grid * 255).astype(np.uint8))
+    imageio.mimsave(path, frames, duration=1.0 / fps)

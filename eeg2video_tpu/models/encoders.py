@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -270,6 +271,53 @@ class GLFNetMLP(nn.Module):
         return nn.Dense(self.out_dim, name="out")(jnp.concatenate([g, l], axis=1))
 
 
+class GLMNet(nn.Module):
+    """README-branch GLMNet variant (reference README.md:72-91): a ShallowNet
+    on raw EEG windows plus an MLPNet on the matching DE/PSD features,
+    concatenated into a Linear head.  (The checked-out tree's ``glfnet`` is
+    raw-only global/local; this combined raw+spectral model is the
+    train_glmnet.py contract.)  Inputs: raw (B, 1, C, T), feat (B, C, 5)."""
+
+    out_dim: int
+    emb_dim: int = 64
+    C: int = meta.N_CHANNELS
+    T: int = meta.FS // 2  # 500 ms windows
+
+    @nn.compact
+    def __call__(self, raw, feat, *, train: bool = False):
+        r = ShallowNetFlexible(self.emb_dim, self.C, name="rawnet")(raw, train=train)
+        f = MLPNet(self.emb_dim, name="featnet")(feat, train=train)
+        return nn.Dense(self.out_dim, name="out")(jnp.concatenate([r, f], axis=1))
+
+
+class ShallowNetFlexible(nn.Module, _ConvBlockMixin):
+    """ShallowNet with adaptive pooling so any T works (the README branch
+    replaces AvgPool2d with AdaptiveAvgPool2d, README.md:74): pool output is
+    fixed at 26 time bins (the T=200 shape of the original)."""
+
+    out_dim: int
+    C: int = meta.N_CHANNELS
+    pooled: int = 26
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = _to_nhwc(x)
+        x = self._conv(x, 40, (1, 25), "conv1")
+        x = self._conv(x, 40, (self.C, 1), "conv2")
+        x = self._bn(x, train, "bn")
+        x = nn.elu(x)
+        # adaptive average pool to (1, pooled): torch AdaptiveAvgPool2d bins
+        b, h, w, c = x.shape
+        starts = (np.arange(self.pooled) * w) // self.pooled
+        ends = np.maximum((((np.arange(self.pooled) + 1) * w) + self.pooled - 1) // self.pooled, starts + 1)
+        cs = jnp.cumsum(jnp.concatenate([jnp.zeros_like(x[:, :, :1]), x], axis=2), axis=2)
+        pooled = (cs[:, :, ends] - cs[:, :, starts]) / jnp.asarray(
+            (ends - starts)[None, None, :, None], x.dtype)
+        x = nn.Dropout(0.5, deterministic=not train)(pooled)
+        x = _flatten_as_torch(x)
+        return nn.Dense(self.out_dim, name="out")(x)
+
+
 _ENCODERS = {
     "shallownet": ShallowNet,
     "deepnet": DeepNet,
@@ -279,6 +327,7 @@ _ENCODERS = {
     "glfnet": GLFNet,
     "mlpnet": MLPNet,
     "glfnet_mlp": GLFNetMLP,
+    "glmnet": GLMNet,
 }
 
 

@@ -1,0 +1,120 @@
+"""Semantic-predictor trainer (reference EEG2Video_New/Semantic/eeg_text.py:
+108-175; legacy variant EEG2Video/models/train_semantic_predictor.py).
+
+Recipe: MSE to CLIP text embeddings, Adam 5e-4 + cosine(T_max = 200 * steps),
+200 epochs, batch 32, z-scored DE features (reference L141-169).  The 387M
+parameter MLP trains tp-sharded when a mesh is provided.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data import meta
+from ..models.semantic import SemanticPredictor, semantic_sharding_rules
+from ..parallel import make_mesh, shard_params
+from ..utils import StandardScaler, get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class SemanticTrainConfig:
+    epochs: int = 200
+    batch_size: int = 32
+    lr: float = 5e-4
+    hidden: int = 10000
+    out_dim: int = 77 * 768
+
+
+def prepare_semantic_data(de_features: np.ndarray, text_embeddings):
+    """Reference data plumbing (eeg_text.py:113-136): GT reorder blocks 0-5,
+    flatten (62,5)->310.
+
+    de_features: (7, 40, 5, 62, 5) DE_1per2s; text_embeddings: list of 6
+    per-block (200, 77, 768) arrays ALREADY in the reference's block order.
+    Note the reference reorders text with block 0's indices for every block
+    and subsamples [::5] then repeats (L130-131) — behavior preserved.
+    """
+    eeg = np.stack([meta.reorder_by_gt(de_features[b], b) for b in range(6)])
+    eeg = eeg.reshape(-1, meta.N_CHANNELS * meta.N_BANDS)  # (1200, 310)
+
+    texts = []
+    idx0 = meta.block_reorder_indices(0)
+    for b in range(6):
+        t = np.asarray(text_embeddings[b]).reshape(40, 5, 77, 768)
+        t = t[idx0][:, ::5]  # (40, 1, 77, 768)
+        t = np.repeat(t, 5, axis=1)
+        texts.append(t.reshape(200, 77 * 768))
+    text = np.concatenate(texts)
+
+    scaler = StandardScaler().fit(eeg)
+    return scaler.transform(eeg), text.astype(np.float32), scaler
+
+
+def train_semantic(eeg, text, cfg: SemanticTrainConfig = SemanticTrainConfig(),
+                   seed: int = 0, tp: int = 1):
+    """Returns ({'params': ...}, losses).  ``tp>1`` shards the MLP over a
+    (1, tp) mesh (Megatron layout, models.semantic)."""
+    model = SemanticPredictor(hidden=cfg.hidden, out_dim=cfg.out_dim)
+    params = model.init(jax.random.key(seed), jnp.zeros((1, eeg.shape[-1])))["params"]
+
+    mesh = None
+    if tp > 1:
+        mesh = make_mesh(dp=1, tp=tp)
+        params = shard_params(params, mesh, semantic_sharding_rules)
+
+    n = len(eeg)
+    steps_per_epoch = int(np.ceil(n / cfg.batch_size))
+    sched = optax.cosine_decay_schedule(cfg.lr, cfg.epochs * steps_per_epoch)
+    tx = optax.adam(sched)
+    opt_state = tx.init(params)
+    if mesh is not None:
+        # optimizer moments inherit param shardings automatically via jit
+        pass
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            return jnp.mean((model.apply({"params": p}, x) - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    x_all, y_all = np.asarray(eeg, np.float32), np.asarray(text, np.float32)
+    losses = []
+    for epoch in range(cfg.epochs):
+        perm = rng.permutation(n)
+        ep = 0.0
+        for s in range(0, n - cfg.batch_size + 1, cfg.batch_size):
+            idx = perm[s:s + cfg.batch_size]
+            params, opt_state, loss = step(params, opt_state,
+                                           jnp.asarray(x_all[idx]), jnp.asarray(y_all[idx]))
+            ep += float(loss)
+        losses.append(ep)
+        if (epoch + 1) % 10 == 0:
+            log.info("semantic epoch %d loss %.5f", epoch + 1, ep)
+    return {"params": params}, losses
+
+
+def predict_semantic(variables, eeg, hidden=10000, out_dim=77 * 768,
+                     batch_size=100):
+    model = SemanticPredictor(hidden=hidden, out_dim=out_dim)
+
+    @jax.jit
+    def f(x):
+        return model.apply(variables, x)
+
+    return np.concatenate([
+        np.asarray(f(jnp.asarray(eeg[s:s + batch_size], jnp.float32)))
+        for s in range(0, len(eeg), batch_size)
+    ])

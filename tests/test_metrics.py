@@ -1,0 +1,72 @@
+"""Pixel-metric correctness: SSIM vs a straightforward numpy oracle with
+skimage semantics, PSNR/MSE/hue sanity, n-way accuracy."""
+
+import numpy as np
+
+from eeg2video_tpu.eval import (
+    hue_score_only,
+    mse_score_only,
+    n_way_top_k_acc,
+    psnr_score_only,
+    ssim,
+    ssim_score_only,
+)
+
+
+def _ssim_numpy_oracle(x, y, data_range=255.0, win=7):
+    """Direct skimage-semantics SSIM: uniform window, sample covariance,
+    border crop.  O(HWC*win^2) — test-only."""
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    K1, K2 = 0.01, 0.03
+    C1, C2 = (K1 * data_range) ** 2, (K2 * data_range) ** 2
+    NP = win * win
+    cov_norm = NP / (NP - 1)
+    pad = win // 2
+
+    def uf(a):
+        ap = np.pad(a, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        out = np.zeros_like(a)
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                out[i, j] = ap[i:i + win, j:j + win].mean(axis=(0, 1))
+        return out
+
+    ux, uy = uf(x), uf(y)
+    vx = cov_norm * (uf(x * x) - ux * ux)
+    vy = cov_norm * (uf(y * y) - uy * uy)
+    vxy = cov_norm * (uf(x * y) - ux * uy)
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / ((ux ** 2 + uy ** 2 + C1) * (vx + vy + C2))
+    return S[pad:-pad, pad:-pad].mean()
+
+
+def test_ssim_matches_oracle(rng):
+    x = rng.uniform(0, 255, (24, 32, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 20, x.shape), 0, 255).astype(np.float32)
+    ours = float(ssim(x, y))
+    ref = _ssim_numpy_oracle(x, y)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+    assert float(ssim(x, x)) > 0.9999
+
+
+def test_score_helpers(rng):
+    pred = rng.uniform(0, 255, (3, 16, 16, 3)).astype(np.float32)
+    gt = pred.copy()
+    m, s = mse_score_only(pred, gt)
+    assert m == 0.0
+    p, _ = psnr_score_only(pred, np.clip(pred + 1, 0, 255))
+    assert 40 < p < 60
+    h, _ = hue_score_only(pred, pred)
+    np.testing.assert_allclose(h, 1.0, atol=1e-5)
+    ss, _ = ssim_score_only(pred, gt)
+    np.testing.assert_allclose(ss, 1.0, atol=1e-5)
+
+
+def test_n_way_top_k_acc():
+    rng = np.random.default_rng(0)
+    probs = np.zeros(40)
+    probs[7] = 1.0  # classifier certain of class 7
+    acc, _ = n_way_top_k_acc(probs, 7, n_way=2, num_trials=50, rng=rng)
+    assert acc == 1.0
+    acc, _ = n_way_top_k_acc(probs, 3, n_way=2, num_trials=50, rng=rng)
+    assert acc < 0.2
