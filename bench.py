@@ -46,8 +46,15 @@ def main():
     key = jax.random.key(0)
     sample = jnp.zeros((1, 6, 36, 64, 4), jnp.bfloat16)
     ctx = jnp.zeros((1, 77, 768), jnp.bfloat16)
-    up = unet.init(key, sample, jnp.asarray([0]), ctx)["params"]
-    vp = vae.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3), jnp.bfloat16))["params"]
+    # zeros-init via eval_shape: latency is shape-dependent, and this skips
+    # compiling the (huge) on-device init program over the tunnel
+    up = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(lambda: unet.init(key, sample, jnp.asarray([0]), ctx)))["params"]
+    vp = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(lambda: vae.init(jax.random.key(1),
+                                        jnp.zeros((1, 64, 64, 3), jnp.bfloat16))))["params"]
     pipe = EEG2VideoPipeline.create(up, vp, ucfg, vcfg, dtype=jnp.bfloat16)
 
     emb = jax.device_put(np.random.default_rng(0).standard_normal((1, 77 * 768)).astype(np.float32))
@@ -57,15 +64,19 @@ def main():
         return pipe(emb, neg, key=k, video_length=6, height=288, width=512,
                     num_inference_steps=steps, guidance_scale=12.5)
 
+    def sync(x):
+        # force full execution: a device->host copy of a reduction; the axon
+        # tunnel's block_until_ready can return before execution finishes
+        return float(jnp.sum(x))
+
     t0 = time.time()
-    run(jax.random.key(2)).block_until_ready()
+    sync(run(jax.random.key(2)))
     compile_s = time.time() - t0
 
     n = 1 if quick else 3
     t0 = time.time()
     for i in range(n):
-        out = run(jax.random.key(3 + i))
-    out.block_until_ready()
+        sync(run(jax.random.key(3 + i)))
     latency = (time.time() - t0) / n
 
     print(json.dumps({
@@ -76,7 +87,12 @@ def main():
     }))
     print(f"# compile={compile_s:.1f}s backend={jax.default_backend()} steps={steps}",
           file=sys.stderr)
+    sys.stdout.flush()
+    sys.stderr.flush()
 
 
 if __name__ == "__main__":
     main()
+    # the axon PJRT teardown can hang at interpreter exit; everything is
+    # flushed, so exit hard
+    os._exit(0)

@@ -1,0 +1,159 @@
+"""CLI: train GLMNet (ShallowNet on raw 500 ms windows + MLP on their DE/PSD
+features) — the README GLMNet contract (README.md:68-91):
+
+- inputs: Segmented_500ms_sw (7,40,5,7,62,100) + DE_1per500ms (7,40,5,7,62,5)
+- raw EEG normalized per channel with TRAIN-split statistics, saved and
+  reloaded at inference (README.md:88, 99)
+- ``--scheduler {steplr,reducelronplateau,cosine}`` and ``--min_lr``
+  (README.md:89-91)
+- 40-class objective on blocks 0..5, block 6 held out."""
+
+import argparse
+import os
+
+import numpy as np
+
+from ..data import meta
+from ..data.io import load_array
+from ..train import checkpoint as ckpt
+from ..utils import get_logger
+
+log = get_logger(__name__)
+
+
+def make_lr_schedule(name: str, lr: float, min_lr: float, total_steps: int):
+    import optax
+
+    if name == "cosine":
+        return optax.cosine_decay_schedule(lr, total_steps, alpha=min_lr / lr)
+    if name == "steplr":
+        # torch StepLR(step=30 epochs, gamma=0.1)-style staircase with floor
+        sched = optax.exponential_decay(lr, total_steps // 3 or 1, 0.1, staircase=True)
+        return lambda step: np.maximum(sched(step), min_lr)
+    if name == "reducelronplateau":
+        # plateau logic runs host-side in the loop; base schedule is constant
+        return optax.constant_schedule(lr)
+    raise ValueError(f"unknown scheduler '{name}'")
+
+
+def prepare_glmnet_data(raw_sw, de_sw, train_blocks, test_block):
+    """Flatten (block, concept, rep, window) into samples; per-channel
+    z-scoring from train statistics (README.md:88)."""
+    n = int(np.prod(raw_sw.shape[1:4]))
+    raw = raw_sw.reshape(7, n, *raw_sw.shape[4:])  # (7, N, 62, 100)
+    de = de_sw.reshape(7, n, *de_sw.shape[4:])  # (7, N, 62, 5)
+    labels = meta.all_labels(n // meta.N_CONCEPTS)
+
+    tr_raw = raw[train_blocks].reshape(-1, *raw.shape[2:])
+    mean = tr_raw.mean(axis=(0, 2), keepdims=True)
+    std = tr_raw.std(axis=(0, 2), keepdims=True) + 1e-8
+
+    def norm(x):
+        return ((x - mean) / std).astype(np.float32)
+
+    data = {
+        "train": (norm(tr_raw)[:, None], de[train_blocks].reshape(-1, *de.shape[2:]).astype(np.float32),
+                  labels[train_blocks].reshape(-1)),
+        "test": (norm(raw[test_block])[:, None], de[test_block].astype(np.float32),
+                 labels[test_block]),
+    }
+    return data, {"mean": mean, "std": std}
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models import make_encoder
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--raw_dir", default="./data/Preprocessing/Segmented_500ms_sw")
+    p.add_argument("--de_dir", default="./data/Preprocessing/DE_1per500ms")
+    p.add_argument("--sub", type=int, default=1)
+    p.add_argument("--save_path", default="./outputs/glmnet")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--min_lr", type=float, default=1e-5)
+    p.add_argument("--scheduler", choices=["steplr", "reducelronplateau", "cosine"],
+                   default="cosine")
+    p.add_argument("--emb_dim", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    raw_sw = load_array(os.path.join(args.raw_dir, f"sub{args.sub}.npy"))
+    de_sw = load_array(os.path.join(args.de_dir, f"sub{args.sub}.npy"))
+    data, stats = prepare_glmnet_data(raw_sw, de_sw, list(range(6)), 6)
+    np.savez(_ensure(args.save_path, "norm_stats.npz"), **stats)
+
+    model = make_encoder("glmnet", out_dim=40, emb_dim=args.emb_dim)
+    key = jax.random.key(args.seed)
+    xr, xf, y = data["train"]
+    variables = model.init(key, xr[:2], xf[:2], train=False)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+
+    n = len(y)
+    steps_per_epoch = max(n // args.batch_size, 1)
+    sched = make_lr_schedule(args.scheduler, args.lr, args.min_lr,
+                             args.epochs * steps_per_epoch)
+    tx = optax.adamw(sched)
+    opt_state = tx.init(params)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, bstats, opt_state, xr, xf, y, k):
+        def loss_fn(p):
+            logits, mut = model.apply({"params": p, "batch_stats": bstats},
+                                      xr, xf, train=True, rngs={"dropout": k},
+                                      mutable=["batch_stats"])
+            return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean(), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    rng = np.random.default_rng(args.seed)
+    plateau_best, plateau_wait, lr_scale = np.inf, 0, 1.0
+    for epoch in range(args.epochs):
+        perm = rng.permutation(n)
+        ep = 0.0
+        for s in range(0, n - args.batch_size + 1, args.batch_size):
+            idx = perm[s:s + args.batch_size]
+            params, bstats, opt_state, loss = step(
+                params, bstats, opt_state,
+                jnp.asarray(xr[idx]), jnp.asarray(xf[idx]), jnp.asarray(y[idx].astype(np.int32)),
+                jax.random.fold_in(key, epoch * steps_per_epoch + s))
+            ep += float(loss)
+        if args.scheduler == "reducelronplateau":
+            if ep < plateau_best - 1e-4:
+                plateau_best, plateau_wait = ep, 0
+            else:
+                plateau_wait += 1
+                if plateau_wait >= 10:
+                    lr_scale = max(lr_scale * 0.1, args.min_lr / args.lr)
+                    tx = optax.adamw(args.lr * lr_scale)
+                    opt_state = tx.init(params)
+                    plateau_wait = 0
+                    log.info("plateau: lr -> %.2e", args.lr * lr_scale)
+        if (epoch + 1) % 10 == 0:
+            log.info("epoch %d loss %.4f", epoch + 1, ep)
+
+    ckpt.save_checkpoint(os.path.join(args.save_path, "ckpt"), args.epochs,
+                         {"params": params, "batch_stats": bstats})
+    # held-out accuracy
+    xr_t, xf_t, y_t = data["test"]
+    logits = model.apply({"params": params, "batch_stats": bstats},
+                         jnp.asarray(xr_t), jnp.asarray(xf_t), train=False)
+    acc = float((np.asarray(logits).argmax(-1) == y_t).mean())
+    log.info("block-6 top-1: %.3f; saved to %s", acc, args.save_path)
+
+
+def _ensure(d, fname):
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, fname)
+
+
+if __name__ == "__main__":
+    main()

