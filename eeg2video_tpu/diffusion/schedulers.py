@@ -119,3 +119,15 @@ class DDIMSchedule:
         x0 = (sample - sqrt_one_minus_a_t * model_output) / sqrt_a_t
         dir_xt = jnp.sqrt(1.0 - a_prev) * model_output
         return jnp.sqrt(a_prev) * x0 + dir_xt
+
+    def inverse_step(self, model_output, t, sample):
+        """Reverse DDIM (x_{t-step} -> x_t): the core of ddim_inversion
+        (reference tuneavideo/util.py:34-101, next_step L37-46)."""
+        step_ratio = self.num_train_timesteps // self.num_inference_steps
+        next_t = t
+        prev_t = t - step_ratio
+        a_prev = jnp.where(prev_t >= 0, jnp.take(self.alphas_cumprod, jnp.maximum(prev_t, 0)),
+                           self.final_alpha_cumprod)
+        a_next = jnp.take(self.alphas_cumprod, next_t)
+        x0 = (sample - jnp.sqrt(1.0 - a_prev) * model_output) / jnp.sqrt(a_prev)
+        return jnp.sqrt(a_next) * x0 + jnp.sqrt(1.0 - a_next) * model_output

@@ -70,3 +70,17 @@ def test_n_way_top_k_acc():
     assert acc == 1.0
     acc, _ = n_way_top_k_acc(probs, 3, n_way=2, num_trials=50, rng=rng)
     assert acc < 0.2
+
+
+def test_config_tree(tmp_path):
+    from eeg2video_tpu.config import Config, load_config
+
+    cfg = load_config()
+    assert cfg.generation.num_inference_steps == 100
+    y = tmp_path / "c.yaml"
+    y.write_text("generation:\n  guidance_scale: 7.5\nunet:\n  attention_heads: 4\n")
+    cfg = load_config(str(y), overrides=["generation.seed=7", "data.outputs=./o2"])
+    assert cfg.generation.guidance_scale == 7.5
+    assert cfg.unet.attention_heads == 4
+    assert cfg.generation.seed == 7
+    assert cfg.data.outputs == "./o2"
