@@ -27,6 +27,15 @@ import flax.linen as nn
 
 from ..ops import fused_attention
 
+# Perf-debug knobs (trace-time): lets benchmarks ablate each attention kind
+# to attribute UNet step time.  Production code leaves these untouched.
+KNOBS = {
+    "disable_sparse": False,
+    "disable_cross": False,
+    "disable_temporal": False,
+    "disable_ff": False,
+}
+
 
 class Attention(nn.Module):
     """diffusers-0.11 CrossAttention: to_q/k/v (no bias) + to_out Dense.
@@ -139,28 +148,33 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context, *, train: bool = False):
         b, f, l, c = x.shape
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        x = x + SparseCausalAttention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(h)
+        if not KNOBS["disable_sparse"]:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+            x = x + SparseCausalAttention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(h)
 
-        # cross-attention: context broadcast per frame (attention.py:94)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        ctx = jnp.repeat(context, f, axis=0)  # (B*F, S, D)
-        out = Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")(
-            h.reshape(b * f, l, c), ctx
-        )
-        x = x + out.reshape(b, f, l, c)
+        if not KNOBS["disable_cross"]:
+            # cross-attention: context broadcast per frame (attention.py:94)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+            ctx = jnp.repeat(context, f, axis=0)  # (B*F, S, D)
+            out = Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")(
+                h.reshape(b * f, l, c), ctx
+            )
+            x = x + out.reshape(b, f, l, c)
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        x = x + GEGLUFeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(h, train=train)
+        if not KNOBS["disable_ff"]:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+            x = x + GEGLUFeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(h, train=train)
 
-        # temporal attention over the frame axis (attention.py:260-267):
-        # (B, F, L, C) -> (B*L, F, C)
-        t = x.transpose(0, 2, 1, 3).reshape(b * l, f, c)
-        ht = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_temp")(t)
-        t = t + Attention(
-            self.heads, self.head_dim, zero_init_out=True, dtype=self.dtype, name="attn_temp"
-        )(ht)
-        return t.reshape(b, l, f, c).transpose(0, 2, 1, 3)
+        if not KNOBS["disable_temporal"]:
+            # temporal attention over the frame axis (attention.py:260-267):
+            # (B, F, L, C) -> (B*L, F, C)
+            t = x.transpose(0, 2, 1, 3).reshape(b * l, f, c)
+            ht = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_temp")(t)
+            t = t + Attention(
+                self.heads, self.head_dim, zero_init_out=True, dtype=self.dtype, name="attn_temp"
+            )(ht)
+            x = t.reshape(b, l, f, c).transpose(0, 2, 1, 3)
+        return x
 
 
 class Transformer3DModel(nn.Module):

@@ -96,10 +96,20 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, pads)
 
 
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
-def _flash_fwd(q, k, v, scale, block_q=256, block_k=512, interpret=False):
+def _flash_fwd(q, k, v, scale, block_q=None, block_k=None, interpret=False):
     B, H, Lq, D = q.shape
     Lkv = k.shape[2]
+    # adaptive tiling (tuned on v5e): large blocks amortize grid overhead;
+    # clamp to the padded sequence so short KV (cross-attn) isn't blown up
+    if block_q is None:
+        block_q = min(768, _round_up(Lq, 128))
+    if block_k is None:
+        block_k = min(1536, _round_up(Lkv, 128))
     qp = _pad_to(_pad_to(q, 3, 128), 2, block_q)
     kp = _pad_to(_pad_to(k, 3, 128), 2, block_k)
     vp = _pad_to(_pad_to(v, 3, 128), 2, block_k)
