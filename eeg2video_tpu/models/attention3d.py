@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -167,7 +169,10 @@ class BasicTransformerBlock(nn.Module):
 
         if not KNOBS["disable_temporal"]:
             # temporal attention over the frame axis (attention.py:260-267):
-            # (B, F, L, C) -> (B*L, F, C)
+            # (B, F, L, C) -> (B*L, F, C).  (An in-place frame-axis einsum
+            # variant avoids the transposes but hits a pathological >20min
+            # Mosaic compile on v5e; the transpose layout costs ~1.3ms/call
+            # in-graph and compiles fast, so it stays.)
             t = x.transpose(0, 2, 1, 3).reshape(b * l, f, c)
             ht = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_temp")(t)
             t = t + Attention(
