@@ -202,6 +202,13 @@ class Seq2SeqTransformer(nn.Module):
         emb = emb + jnp.asarray(sinusoidal_positions(N_WINDOWS, self.d_model))
         # note: the reference's PositionalEncoding has dropout=0 (L143)
 
+        # the reference embeds the teacher ``tgt`` but the rollout never uses
+        # it (L157-158 vs L176-181); computed here too so img_embedding
+        # params exist for checkpoint interchange, then dropped (XLA DCE).
+        teacher = tgt if tgt is not None else jnp.zeros(
+            (B, 1, LATENT_DIM), emb.dtype)
+        _ = self.img_embedding(teacher.reshape(B, -1, LATENT_DIM))
+
         memory = emb
         for layer in self.enc_layers:
             memory = layer(memory, train=train)
