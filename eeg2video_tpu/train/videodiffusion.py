@@ -98,15 +98,23 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: VideoDiffusionTrainConfig, params) -> optax.GradientTransformation:
-    mask = jax.tree_util.tree_map_with_path(lambda p, _: trainable(p), params)
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
-            cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
-            eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
-        ),
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, _: "train" if trainable(p) else "freeze", params)
+    tx = optax.multi_transform(
+        {
+            "train": optax.chain(
+                optax.clip_by_global_norm(cfg.max_grad_norm),
+                optax.adamw(
+                    cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                    eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
+                ),
+            ),
+            # frozen params receive zero updates (optax.masked would pass raw
+            # gradients through for unmasked leaves)
+            "freeze": optax.set_to_zero(),
+        },
+        labels,
     )
-    tx = optax.masked(tx, mask)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx

@@ -1,0 +1,69 @@
+"""Video-diffusion train step: single-device smoke on tiny config — loss is
+finite, only the reference's trainable modules change, grads clip."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+from eeg2video_tpu.models.vae import AutoencoderKL, VAEConfig
+from eeg2video_tpu.train.videodiffusion import (
+    VideoDiffusionTrainConfig,
+    init_video_train_state,
+    make_video_train_step,
+    trainable,
+)
+
+
+def test_train_step_updates_only_trainable_modules(rng):
+    ucfg = UNet3DConfig.tiny()
+    ucfg = type(ucfg)(**{**ucfg.__dict__, "cross_attention_dim": 768})
+    vcfg = VAEConfig.tiny()
+    tcfg = VideoDiffusionTrainConfig(compute_dtype="float32", remat=False)
+
+    unet = UNet3DConditionModel(ucfg)
+    vae = AutoencoderKL(vcfg)
+    b, f, hw = 2, 2, 32
+    params = unet.init(jax.random.key(0), jnp.zeros((b, f, hw // 8, hw // 8, 4)),
+                       jnp.zeros((b,), jnp.int32), jnp.zeros((b, 77, 768)))["params"]
+    vae_params = vae.init(jax.random.key(1), jnp.zeros((1, hw, hw, 3)))["params"]
+
+    state = init_video_train_state(params, tcfg)
+    step = make_video_train_step(ucfg, vcfg, tcfg)
+
+    pixels = jnp.asarray(rng.standard_normal((b, f, hw, hw, 3)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, 77, 768)), jnp.float32)
+    before = jax.tree.map(jnp.copy, state.params)
+    state, loss = step(state, vae_params, pixels, ctx, jax.random.key(2))
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 1
+
+    flat_before = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_after = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    n_changed = n_same = 0
+    for (path, a), (_, b_) in zip(flat_before, flat_after):
+        changed = not np.allclose(np.asarray(a), np.asarray(b_))
+        if trainable(path):
+            n_changed += changed
+        else:
+            assert not changed, f"frozen param {path} changed"
+            n_same += 1
+    assert n_changed > 0 and n_same > 0
+
+
+def test_trainable_rule_matches_reference():
+    """The reference freezes everything except attn1.to_q, attn2.to_q, and
+    all of attn_temp (train_finetune_videodiffusion.py:72-76)."""
+
+    class K:  # fake path keys
+        def __init__(self, key):
+            self.key = key
+
+    p = lambda *names: tuple(K(n) for n in names)
+    assert trainable(p("down0", "attn0", "block0", "attn1", "to_q", "kernel"))
+    assert trainable(p("down0", "attn0", "block0", "attn2", "to_q", "kernel"))
+    assert trainable(p("mid", "attn0", "block0", "attn_temp", "to_out", "kernel"))
+    assert not trainable(p("down0", "attn0", "block0", "attn1", "to_k", "kernel"))
+    assert not trainable(p("down0", "resnet0", "conv1", "conv", "kernel"))
+    assert not trainable(p("conv_in", "conv", "kernel"))
