@@ -49,10 +49,11 @@ def prepare_semantic_data(de_features: np.ndarray, text_embeddings):
     texts = []
     idx0 = meta.block_reorder_indices(0)
     for b in range(6):
-        t = np.asarray(text_embeddings[b]).reshape(40, 5, 77, 768)
-        t = t[idx0][:, ::5]  # (40, 1, 77, 768)
+        t = np.asarray(text_embeddings[b])
+        t = t.reshape(40, 5, *t.shape[1:])
+        t = t[idx0][:, ::5]  # (40, 1, ...)
         t = np.repeat(t, 5, axis=1)
-        texts.append(t.reshape(200, 77 * 768))
+        texts.append(t.reshape(200, -1))
     text = np.concatenate(texts)
 
     scaler = StandardScaler().fit(eeg)
@@ -80,30 +81,46 @@ def train_semantic(eeg, text, cfg: SemanticTrainConfig = SemanticTrainConfig(),
         # optimizer moments inherit param shardings automatically via jit
         pass
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, x, y):
+    x_all = jnp.asarray(eeg, jnp.float32)
+    y_all = jnp.asarray(text, jnp.float32)
+    bs = cfg.batch_size
+    n_batches = n // bs
+
+    def step(carry, batch):
+        params, opt_state = carry
+        x, y = batch
+
         def loss_fn(p):
             return jnp.mean((model.apply({"params": p}, x) - y) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params, opt_state, perm):
+        xb = x_all[perm[: n_batches * bs]].reshape(n_batches, bs, -1)
+        yb = y_all[perm[: n_batches * bs]].reshape(n_batches, bs, -1)
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), (xb, yb))
+        return params, opt_state, losses.sum()
 
     rng = np.random.default_rng(seed)
-    x_all, y_all = np.asarray(eeg, np.float32), np.asarray(text, np.float32)
     losses = []
-    for epoch in range(cfg.epochs):
-        perm = rng.permutation(n)
-        ep = 0.0
-        for s in range(0, n - cfg.batch_size + 1, cfg.batch_size):
-            idx = perm[s:s + cfg.batch_size]
-            params, opt_state, loss = step(params, opt_state,
-                                           jnp.asarray(x_all[idx]), jnp.asarray(y_all[idx]))
-            ep += float(loss)
-        losses.append(ep)
-        if (epoch + 1) % 10 == 0:
-            log.info("semantic epoch %d loss %.5f", epoch + 1, ep)
+    ctx = mesh if mesh is not None else _null_ctx()
+    with ctx:
+        for epoch in range(cfg.epochs):
+            perm = jnp.asarray(rng.permutation(n))
+            params, opt_state, ep = train_epoch(params, opt_state, perm)
+            losses.append(float(ep))
+            if (epoch + 1) % 10 == 0:
+                log.info("semantic epoch %d loss %.5f", epoch + 1, losses[-1])
     return {"params": params}, losses
+
+
+def _null_ctx():
+    import contextlib
+
+    return contextlib.nullcontext()
 
 
 def predict_semantic(variables, eeg, hidden=10000, out_dim=77 * 768,

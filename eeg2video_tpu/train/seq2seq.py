@@ -84,36 +84,42 @@ def train_seq2seq(train_eeg, train_lat, cfg: Seq2SeqTrainConfig = Seq2SeqTrainCo
 
     x_all = jnp.asarray(train_eeg, jnp.float32)
     y_all = jnp.asarray(train_lat, jnp.float32)
+    n_batches = n // bs
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, x, y, k):
+    def train_step(carry, batch):
+        params, batch_stats, opt_state, k = carry
+        x, y = batch
+        k, sub = jax.random.split(k)
+
         def loss_fn(p):
             (txt, out), mut = model.apply(
                 {"params": p, "batch_stats": batch_stats}, x, train=True,
-                rngs={"dropout": k}, mutable=["batch_stats"],
+                rngs={"dropout": sub}, mutable=["batch_stats"],
             )
             # loss = MSE(video, rollout[:, :-1]) (reference L369)
             return jnp.mean((out[:, :-1] - y) ** 2), mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+        return (optax.apply_updates(params, updates), new_bs, opt_state, k), loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_epoch(params, batch_stats, opt_state, perm, k):
+        xb = x_all[perm[: n_batches * bs]].reshape(n_batches, bs, *x_all.shape[1:])
+        yb = y_all[perm[: n_batches * bs]].reshape(n_batches, bs, *y_all.shape[1:])
+        (params, batch_stats, opt_state, _), losses = jax.lax.scan(
+            train_step, (params, batch_stats, opt_state, k), (xb, yb))
+        return params, batch_stats, opt_state, losses.sum()
 
     rng = np.random.default_rng(seed)
     losses = []
     for epoch in range(cfg.epochs):
-        perm = rng.permutation(n)
-        ep_loss = 0.0
-        for s in range(0, n - bs + 1, bs):
-            idx = jnp.asarray(perm[s:s + bs])
-            params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, x_all[idx], y_all[idx],
-                jax.random.fold_in(key, epoch * steps_per_epoch + s),
-            )
-            ep_loss += float(loss)
-        losses.append(ep_loss)
+        perm = jnp.asarray(rng.permutation(n))
+        params, batch_stats, opt_state, ep_loss = train_epoch(
+            params, batch_stats, opt_state, perm, jax.random.fold_in(key, epoch))
+        losses.append(float(ep_loss))
         if (epoch + 1) % 10 == 0:
-            log.info("seq2seq epoch %d loss %.5f", epoch + 1, ep_loss)
+            log.info("seq2seq epoch %d loss %.5f", epoch + 1, losses[-1])
     return {"params": params, "batch_stats": batch_stats}, losses
 
 
