@@ -52,6 +52,10 @@ def main(argv=None):
     p.add_argument("--learning_rate", type=float, default=3e-5)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--checkpointing_epochs", type=int, default=100)
+    p.add_argument("--validation_epochs", type=int, default=100,
+                   help="sample clips with the current params every N epochs "
+                        "(reference validates every 100 epochs, train L343)")
+    p.add_argument("--validation_steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=33)
     args = p.parse_args(argv)
 
@@ -104,6 +108,9 @@ def main(argv=None):
     state = init_video_train_state(params, tcfg)
     step_fn = make_video_train_step(ucfg, vcfg, tcfg)
 
+    from ..utils.metrics_logger import MetricsLogger
+
+    metrics = MetricsLogger(args.output_dir, "tuneavideo")
     key = jax.random.key(args.seed)
     it = ds.batches(args.train_batch_size, seed=args.seed)
     steps_per_epoch = max(len(ds) // args.train_batch_size, 1)
@@ -118,6 +125,20 @@ def main(argv=None):
                                   jax.random.fold_in(key, int(state.step)))
             ep_loss += float(loss)
         log.info("epoch %d train_loss %.5f", epoch, ep_loss / steps_per_epoch)
+        metrics.log(int(state.step), train_loss=ep_loss / steps_per_epoch, epoch=epoch)
+        if epoch % args.validation_epochs == 0:
+            # sample a few clips with the current weights (reference L343-369)
+            from ..diffusion.pipeline import EEG2VideoPipeline
+
+            pipe = EEG2VideoPipeline.create(state.params, vae_params, ucfg, vcfg)
+            val_emb = text_emb[:2].reshape(2, -1)
+            vids = pipe(val_emb, val_emb.mean(axis=0),
+                        key=jax.random.fold_in(key, 10_000 + epoch),
+                        num_inference_steps=args.validation_steps,
+                        guidance_scale=12.5)
+            sample_path = os.path.join(args.output_dir, "samples", f"sample-{epoch}.gif")
+            save_videos_grid(np.asarray(vids), sample_path)
+            log.info("validation samples -> %s", sample_path)
         if epoch % args.checkpointing_epochs == 0 or epoch == args.epochs:
             ckpt.save_checkpoint(os.path.join(args.output_dir, "ckpt"),
                                  epoch, {"params": state.params})
