@@ -60,6 +60,12 @@ def main(argv=None):
     p.add_argument("--dana_latents", default="./outputs/dana/40_classes_latent_add_noise.pt")
     p.add_argument("--woSeq2Seq", action="store_true", help="fresh-noise latents")
     p.add_argument("--woDANA", action="store_true", help="raw Seq2Seq latents")
+    p.add_argument("--negative", default=None,
+                   help="negative.npy CFG embedding; note the reference "
+                        "pipeline's CFG negative is the committed "
+                        "negative.npy artifact (pipeline_tuneeeg2video.py:167)"
+                        " — default falls back to the embeddings' mean "
+                        "(driver behavior, inference_eeg2video.py:45)")
     p.add_argument("--out_dir", default=None)
     p.add_argument("--num_inference_steps", type=int, default=100)
     p.add_argument("--guidance_scale", type=float, default=12.5)
@@ -71,7 +77,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     emb = load_array(args.embeddings).reshape(-1, 77 * 768).astype(np.float32)
-    negative = emb.mean(axis=0)  # reference L45
+    if args.negative:
+        negative = load_array(args.negative).reshape(-1).astype(np.float32)
+    else:
+        negative = emb.mean(axis=0)  # reference driver L45
 
     if args.woSeq2Seq:
         latents, tag = None, "40_Classes_woSeq2Seq"

@@ -57,11 +57,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # (block_q, D)
+    # scale folded into Q (saves one full VPU pass over the scores matrix)
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (block_q, D)
     k = k_ref[0]  # (block_k, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (block_q, block_k)
+    )  # (block_q, block_k)
 
     # mask KV columns past the true length (padding)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k

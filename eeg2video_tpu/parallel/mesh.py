@@ -11,7 +11,7 @@ real slice, simulated on the virtual CPU mesh in tests.
 
 from __future__ import annotations
 
-from typing import Mapping, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P  # noqa
 
 from ..data import meta
 from ..models.semantic import SemanticPredictor, semantic_sharding_rules
