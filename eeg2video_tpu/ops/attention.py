@@ -105,12 +105,15 @@ def _round_up(x, m):
 def _flash_fwd(q, k, v, scale, block_q=None, block_k=None, interpret=False):
     B, H, Lq, D = q.shape
     Lkv = k.shape[2]
-    # adaptive tiling (tuned on v5e): large blocks amortize grid overhead;
-    # clamp to the padded sequence so short KV (cross-attn) isn't blown up
-    if block_q is None:
-        block_q = min(768, _round_up(Lq, 128))
+    # adaptive tiling (tuned on v5e): take the WHOLE (padded) KV per grid
+    # cell when it fits — the online-softmax loop then runs once, which
+    # measured fastest (6.4ms vs 7.3ms at the level-0 shape) — and size the
+    # q block so the f32 scores tile stays within ~8MB of VMEM
     if block_k is None:
-        block_k = min(1536, _round_up(Lkv, 128))
+        block_k = min(4608, _round_up(Lkv, 128))
+    if block_q is None:
+        budget = (8 * 1024 * 1024) // (4 * block_k)  # rows of f32 scores
+        block_q = min(768, _round_up(Lq, 128), max(128, (budget // 128) * 128))
     qp = _pad_to(_pad_to(q, 3, 128), 2, block_q)
     kp = _pad_to(_pad_to(k, 3, 128), 2, block_k)
     vp = _pad_to(_pad_to(v, 3, 128), 2, block_k)
