@@ -120,6 +120,55 @@ class SparseCausalAttention(nn.Module):
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
 
+class TemporalAttentionUnrolled(nn.Module):
+    """Frame-axis self-attention with the F loop unrolled (F is 6).
+
+    The straightforward implementations are slow on TPU: rearranging to
+    (B*L, F, C) costs ~20ms/step in big transposes plus 36k tiny batched
+    (6x40)@(40x6) matmuls, and the direct 5-D einsum hits a pathological
+    Mosaic compile.  Here logits/outputs are built from F*F rowwise
+    VPU dot/FMA ops over contiguous (B, L, H, D) frame slices — no layout
+    change, no tiny MXU matmuls.  Same parameters (to_q/k/v/to_out,
+    zero-init out proj) as the reference attn_temp
+    (attention.py:193-201,261-267), so checkpoints interchange.
+    """
+
+    heads: int
+    head_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, l, c = x.shape
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        split = lambda t: t.reshape(b, f, l, self.heads, self.head_dim)
+        qs, ks, vs = split(q), split(k), split(v)
+        scale = 1.0 / np.sqrt(self.head_dim)
+
+        # logits[fi][gi] : (B, L, H) rowwise dots over D
+        rows = []
+        for fi in range(f):
+            qf = qs[:, fi].astype(jnp.float32) * scale
+            rows.append(jnp.stack(
+                [jnp.sum(qf * ks[:, gi].astype(jnp.float32), axis=-1)
+                 for gi in range(f)], axis=-1))  # (B, L, H, F)
+        logits = jnp.stack(rows, axis=-2)  # (B, L, H, F, F)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+
+        outs = []
+        for fi in range(f):
+            acc = 0.0
+            for gi in range(f):
+                acc = acc + probs[..., fi, gi, None] * vs[:, gi]
+            outs.append(acc)  # (B, L, H, D)
+        out = jnp.stack(outs, axis=1).reshape(b, f, l, inner)
+        return nn.Dense(c, kernel_init=nn.initializers.zeros,
+                        dtype=self.dtype, name="to_out")(out)
+
+
 class GEGLUFeedForward(nn.Module):
     """diffusers FeedForward with geglu: Dense(2*4C) -> x*gelu(gate) -> Dense(C)."""
 
@@ -173,12 +222,10 @@ class BasicTransformerBlock(nn.Module):
             # variant avoids the transposes but hits a pathological >20min
             # Mosaic compile on v5e; the transpose layout costs ~1.3ms/call
             # in-graph and compiles fast, so it stays.)
-            t = x.transpose(0, 2, 1, 3).reshape(b * l, f, c)
-            ht = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_temp")(t)
-            t = t + Attention(
-                self.heads, self.head_dim, zero_init_out=True, dtype=self.dtype, name="attn_temp"
+            ht = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_temp")(x)
+            x = x + TemporalAttentionUnrolled(
+                self.heads, self.head_dim, dtype=self.dtype, name="attn_temp"
             )(ht)
-            x = t.reshape(b, l, f, c).transpose(0, 2, 1, 3)
         return x
 
 
