@@ -149,28 +149,33 @@ def n_way_top_k_acc(pred, class_ids, n_way, num_trials=40, top_k=1, rng=None):
 
 def classifier_metrics(pred_videos, gt_videos, kind="image", n_way=50,
                        num_trials=100, top_k=1, cache_dir=".cache",
-                       model_path: Optional[str] = None, rng=None):
+                       model_path: Optional[str] = None, rng=None,
+                       model=None, processor=None):
     """ViT-image / VideoMAE-video n-way classification accuracy
     (reference L72-142).  Requires locally cached HF checkpoints
     ('google/vit-base-patch16-224' / 'MCG-NJU/videomae-base-finetuned-kinetics'
-    or ``model_path``); raises a clear error in zero-egress environments
-    without a local cache.  Evaluation-only host path, torch CPU."""
+    or ``model_path``), or pass ``model``/``processor`` directly (used by
+    tests and custom classifiers).  Evaluation-only host path, torch CPU."""
     import torch
 
     if kind == "image":
-        from transformers import ViTForImageClassification, ViTImageProcessor
+        if model is None:
+            from transformers import ViTForImageClassification, ViTImageProcessor
 
-        name = model_path or "google/vit-base-patch16-224"
-        processor = ViTImageProcessor.from_pretrained(name, cache_dir=cache_dir)
-        model = ViTForImageClassification.from_pretrained(name, cache_dir=cache_dir).eval()
+            name = model_path or "google/vit-base-patch16-224"
+            processor = ViTImageProcessor.from_pretrained(name, cache_dir=cache_dir)
+            model = ViTForImageClassification.from_pretrained(name, cache_dir=cache_dir)
+        model = model.eval()
         prep = lambda clip: processor(images=clip.astype(np.uint8), return_tensors="pt")
     elif kind == "video":
-        from transformers import VideoMAEForVideoClassification, VideoMAEImageProcessor
+        if model is None:
+            from transformers import VideoMAEForVideoClassification, VideoMAEImageProcessor
 
-        name = model_path or "MCG-NJU/videomae-base-finetuned-kinetics"
-        processor = VideoMAEImageProcessor.from_pretrained(name, cache_dir=cache_dir)
-        model = VideoMAEForVideoClassification.from_pretrained(
-            name, num_frames=len(gt_videos[0]), cache_dir=cache_dir).eval()
+            name = model_path or "MCG-NJU/videomae-base-finetuned-kinetics"
+            processor = VideoMAEImageProcessor.from_pretrained(name, cache_dir=cache_dir)
+            model = VideoMAEForVideoClassification.from_pretrained(
+                name, num_frames=len(gt_videos[0]), cache_dir=cache_dir)
+        model = model.eval()
         prep = lambda clip: processor(list(clip), return_tensors="pt")
     else:
         raise ValueError(kind)

@@ -84,3 +84,29 @@ def test_config_tree(tmp_path):
     assert cfg.unet.attention_heads == 4
     assert cfg.generation.seed == 7
     assert cfg.data.outputs == "./o2"
+
+
+def test_classifier_metrics_with_injected_model(rng):
+    """Exercise the ViT n-way path offline with a config-instantiated tiny
+    model (no hub access)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import ViTConfig, ViTForImageClassification, ViTImageProcessor
+
+    from eeg2video_tpu.eval.metrics import classifier_metrics
+
+    cfg = ViTConfig(hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+                    intermediate_size=64, image_size=224, num_labels=10)
+    torch.manual_seed(0)
+    model = ViTForImageClassification(cfg)
+    processor = ViTImageProcessor(size={"height": 224, "width": 224})
+
+    frames = rng.uniform(0, 255, (2, 224, 224, 3)).astype(np.float32)
+    accs, stds = classifier_metrics(frames, frames, kind="image", n_way=2,
+                                    num_trials=10, model=model,
+                                    processor=processor,
+                                    rng=np.random.default_rng(0))
+    assert len(accs) == 2
+    # pred == gt: the GT top-3 classes include the pred argmax -> perfect 2-way
+    assert all(a == 1.0 for a in accs)
