@@ -102,21 +102,40 @@ class SparseCausalAttention(nn.Module):
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(flat)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(flat)
 
-        # frame gather: K/V_f := concat(K/V_frame0, K/V_{f-1}) (L292-301)
-        prev = jnp.maximum(jnp.arange(f) - 1, 0)
-        first = jnp.zeros((f,), jnp.int32)
+        def heads(t, n, ln):
+            return t.reshape(n, ln, self.heads, self.head_dim).transpose(0, 2, 1, 3)
 
-        def gather_frames(t):
-            t = t.reshape(b, f, l, inner)
-            return jnp.concatenate([t[:, first], t[:, prev]], axis=2).reshape(b * f, 2 * l, inner)
+        def unheads(t, n, ln):
+            return t.transpose(0, 2, 1, 3).reshape(n, ln, inner)
 
-        kg, vg = gather_frames(k), gather_frames(v)
+        kf = k.reshape(b, f, l, inner)
+        vf = v.reshape(b, f, l, inner)
+        qf = q.reshape(b, f, l, inner)
 
-        def split(t, ln):
-            return t.reshape(b * f, ln, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        if f >= 2:
+            # frames 0 and 1 both gather [K0, K0] (former_frame_index[0]=0,
+            # L292-296) — duplicated keys give exactly the same softmax
+            # average as K0 alone, so attend K0 only (1/3 less KV work).
+            q01 = qf[:, :2].reshape(b * 2, l, inner)
+            k0 = jnp.broadcast_to(kf[:, :1], (b, 2, l, inner)).reshape(b * 2, l, inner)
+            v0 = jnp.broadcast_to(vf[:, :1], (b, 2, l, inner)).reshape(b * 2, l, inner)
+            out01 = unheads(fused_attention(heads(q01, b * 2, l), heads(k0, b * 2, l),
+                                            heads(v0, b * 2, l)), b * 2, l)
+            out01 = out01.reshape(b, 2, l, inner)
 
-        out = fused_attention(split(q, l), split(kg, 2 * l), split(vg, 2 * l))
-        out = out.transpose(0, 2, 1, 3).reshape(b, f, l, inner)
+            # frames 2..F-1: K/V = concat(frame0, frame f-1) (L292-301)
+            m = f - 2
+            qr = qf[:, 2:].reshape(b * m, l, inner)
+            k0r = jnp.broadcast_to(kf[:, :1], (b, m, l, inner))
+            v0r = jnp.broadcast_to(vf[:, :1], (b, m, l, inner))
+            kg = jnp.concatenate([k0r, kf[:, 1:-1]], axis=2).reshape(b * m, 2 * l, inner)
+            vg = jnp.concatenate([v0r, vf[:, 1:-1]], axis=2).reshape(b * m, 2 * l, inner)
+            outr = unheads(fused_attention(heads(qr, b * m, l), heads(kg, b * m, 2 * l),
+                                           heads(vg, b * m, 2 * l)), b * m, l)
+            out = jnp.concatenate([out01, outr.reshape(b, m, l, inner)], axis=1)
+        else:
+            out = unheads(fused_attention(heads(q, b * f, l), heads(k, b * f, l),
+                                          heads(v, b * f, l)), b * f, l).reshape(b, f, l, inner)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
 
