@@ -1,0 +1,42 @@
+"""Capture a jax.profiler device trace of one UNet forward (round-2 perf
+tooling).  Writes an xplane trace under --logdir for offline inspection.
+
+Usage: python scripts/profile_unet.py --logdir /tmp/unet_trace
+"""
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--logdir", default="/tmp/unet_trace")
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    cfg = UNet3DConfig()
+    model = UNet3DConditionModel(cfg, dtype=jnp.bfloat16)
+    sample = jnp.zeros((2, 6, 36, 64, 4), jnp.bfloat16)
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = jnp.zeros((2, 77, 768), jnp.bfloat16)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.key(0), sample, t, ctx))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)["params"]
+    f = jax.jit(lambda p, s, t, c: model.apply({"params": p}, s, t, c))
+    float(jnp.sum(f(params, sample, t, ctx)))  # compile + warm
+
+    with jax.profiler.trace(args.logdir):
+        for _ in range(args.iters):
+            out = f(params, sample, t, ctx)
+        float(jnp.sum(out))
+    print(f"trace written to {args.logdir}")
+
+
+if __name__ == "__main__":
+    main()
