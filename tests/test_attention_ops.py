@@ -54,3 +54,19 @@ def test_flash_gradients_match_reference(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_gradients_masked_shapes(rng):
+    """Backward with non-block-multiple Lq/Lkv (mask + padding paths)."""
+    B, H, Lq, Lkv, D = 1, 2, 300, 450, 40
+    q = rng.standard_normal((B, H, Lq, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, Lkv, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, Lkv, D)).astype(np.float32)
+    scale = 1.0 / np.sqrt(D)
+
+    gf = jax.grad(lambda q, k, v: jnp.sum(_flash_attention(q, k, v, scale) ** 2),
+                  argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gr = jax.grad(lambda q, k, v: jnp.sum(mha_reference(q, k, v, scale) ** 2),
+                  argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
