@@ -41,7 +41,9 @@ def _windows(segs: np.ndarray, mode: str) -> np.ndarray:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", choices=sorted(_MODES), default="1per2s")
-    p.add_argument("--raw_dir", default="./data/Preprocessing/Segmented_Rawf_200Hz_2s")
+    p.add_argument("--raw_dir", default=None,
+                   help="default: Segmented_Rawf_200Hz_2s (2s/1s modes) or "
+                        "Segmented_500ms_sw (500ms mode)")
     p.add_argument("--de_dir", default=None)
     p.add_argument("--psd_dir", default=None)
     p.add_argument("--subs", type=int, nargs="*", default=None)
@@ -50,6 +52,10 @@ def main(argv=None):
                    help="use the on-device f32 kernel instead of the float64 parity path")
     args = p.parse_args(argv)
 
+    if args.raw_dir is None:
+        args.raw_dir = ("./data/Preprocessing/Segmented_500ms_sw"
+                        if args.mode == "1per500ms"
+                        else "./data/Preprocessing/Segmented_Rawf_200Hz_2s")
     suffix = {"1per2s": "1per2s", "1per1s": "1per1s", "1per500ms": "1per500ms"}[args.mode]
     de_dir = args.de_dir or f"./data/Preprocessing/DE_{suffix}"
     psd_dir = args.psd_dir or f"./data/Preprocessing/PSD_{suffix}"

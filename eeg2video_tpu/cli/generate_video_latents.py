@@ -22,10 +22,12 @@ from ..utils import get_logger
 log = get_logger(__name__)
 
 
-def _load_vae(vae_ckpt, torch_ckpt=None):
+def _load_vae(vae_ckpt, torch_ckpt=None, dtype="float32"):
     import jax.numpy as jnp
 
-    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+    # f32 by default: the VAE-latent artifacts are a <=1e-4 parity target
+    # (BASELINE.md) and the reference encodes in f32
+    vae = AutoencoderKL(VAEConfig(), dtype=jnp.dtype(dtype))
     if torch_ckpt:
         from ..convert.unet_params import vae_params_from_torch
 
@@ -51,13 +53,15 @@ def main(argv=None):
     p.add_argument("--blocks", type=int, nargs="*", default=list(range(6)))
     p.add_argument("--out", default="./data/1200_latent.npy")
     p.add_argument("--batch", type=int, default=12)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="f32 preserves the <=1e-4 latent-parity target")
     args = p.parse_args(argv)
 
-    vae, params = _load_vae(args.vae, args.torch_vae)
+    vae, params = _load_vae(args.vae, args.torch_vae, dtype=args.dtype)
 
     @jax.jit
     def encode(frames):  # (N, H, W, 3) in [-1, 1]
-        mean, _ = vae.apply({"params": params}, frames.astype(jnp.bfloat16),
+        mean, _ = vae.apply({"params": params}, frames.astype(jnp.dtype(args.dtype)),
                             method=AutoencoderKL.encode)
         return mean.astype(jnp.float32)
 
