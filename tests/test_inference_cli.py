@@ -1,0 +1,81 @@
+"""run_metrics and inference_eeg2video CLI glue over synthetic artifacts."""
+
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from eeg2video_tpu.data import meta
+from eeg2video_tpu.data.video import load_gif, save_videos_grid
+
+
+def _write_gifs(d, n, rng, seedbase=0):
+    os.makedirs(d, exist_ok=True)
+    for i in range(n):
+        v = rng.uniform(0, 1, (1, 2, 16, 16, 3)).astype(np.float32)
+        save_videos_grid(v, os.path.join(d, f"{i}.gif"))
+
+
+def test_run_metrics_cli(tmp_path, rng, capsys):
+    from eeg2video_tpu.cli import run_metrics
+
+    pred_dir, gt_dir = tmp_path / "pred", tmp_path / "gt"
+    _write_gifs(pred_dir, 10, rng)
+    _write_gifs(gt_dir, 200, rng)
+    out = tmp_path / "metrics.json"
+    run_metrics.main([
+        "--pred_dir", str(pred_dir), "--gt_dir", str(gt_dir),
+        "--n_clips", "10", "--out", str(out)])
+    res = json.loads(out.read_text())
+    for k in ("ssim", "mse", "psnr", "hue"):
+        assert k in res and np.isfinite(res[k])
+
+
+def test_inference_cli_with_tiny_pipeline(tmp_path, rng, monkeypatch):
+    """Patch load_pipeline with a tiny one and drive the full CLI: latent
+    loading (reference layout), negative handling, batching, GIF output."""
+    from eeg2video_tpu.cli import inference_eeg2video
+    from eeg2video_tpu.diffusion.pipeline import EEG2VideoPipeline
+    from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+    from eeg2video_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    ucfg = UNet3DConfig.tiny()
+    ucfg = type(ucfg)(**{**ucfg.__dict__, "cross_attention_dim": 768})
+    vcfg = VAEConfig.tiny()
+    unet = UNet3DConditionModel(ucfg)
+    vae = AutoencoderKL(vcfg)
+    up = unet.init(jax.random.key(0), np.zeros((1, 2, 4, 4, 4), np.float32),
+                   jnp.asarray([0]), np.zeros((1, 77, 768), np.float32))["params"]
+    vp = vae.init(jax.random.key(1), np.zeros((1, 32, 32, 3), np.float32))["params"]
+    pipe = EEG2VideoPipeline.create(up, vp, ucfg, vcfg, dtype=jnp.float32)
+    monkeypatch.setattr(inference_eeg2video, "load_pipeline", lambda *a, **k: pipe)
+
+    n = 3
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((n, 77 * 768)).astype(np.float32))
+    # Seq2Seq-format latents (B, F, C, h, w)
+    lat_path = tmp_path / "lat.npy"
+    np.save(lat_path, rng.standard_normal((n, 2, 4, 4, 4)).astype(np.float32))
+    out_dir = tmp_path / "clips"
+
+    inference_eeg2video.main([
+        "--embeddings", str(emb_path), "--seq2seq_latents", str(lat_path),
+        "--woDANA", "--out_dir", str(out_dir), "--num_inference_steps", "2",
+        "--height", "32", "--width", "32", "--video_length", "2",
+        "--batch", "2"])
+    for i in range(n):
+        clip = load_gif(out_dir / f"{i}.gif")
+        assert clip.shape[0] == 2  # frames
+
+
+def test_run_metrics_gt_order_mapping():
+    """Prediction i (class order) must map to the GT clip at the block-6
+    presentation position of class i (reference legacy L284-290)."""
+    idx = meta.block_reorder_indices(6)
+    # class 1 (index 0) was shown at position idx[0] in block 6
+    gt_order = (idx[:, None] * meta.N_REPS + np.arange(meta.N_REPS)).reshape(-1)
+    assert gt_order[0] == idx[0] * 5
+    assert len(set(gt_order.tolist())) == 200
