@@ -24,6 +24,12 @@ def main(argv=None):
     p.add_argument("--features", default="./data/Preprocessing/DE_1per2s/sub1.npy")
     p.add_argument("--text_dir", default="./data/Text_embeddings",
                    help="dir with block{i}.pt CLIP text embeddings (i=0..5)")
+    p.add_argument("--legacy", action="store_true",
+                   help="legacy data plumbing: DE_1per1s window-mean features "
+                        "+ a single text_embeddings.npy (reference "
+                        "train_semantic_predictor.py:80-115)")
+    p.add_argument("--text_embeddings", default="./data/Text_embeddings/text_embeddings.npy",
+                   help="(--legacy) combined text embedding file")
     p.add_argument("--save_path", default="./outputs/semantic")
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--batch_size", type=int, default=32)
@@ -34,8 +40,14 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     feats = load_array(args.features)
-    texts = [load_array(os.path.join(args.text_dir, f"block{i}.pt")) for i in range(6)]
-    eeg, text, scaler = prepare_semantic_data(feats, texts)
+    if args.legacy:
+        from ..train.semantic import prepare_semantic_data_legacy
+
+        eeg, text, scaler = prepare_semantic_data_legacy(
+            feats, load_array(args.text_embeddings))
+    else:
+        texts = [load_array(os.path.join(args.text_dir, f"block{i}.pt")) for i in range(6)]
+        eeg, text, scaler = prepare_semantic_data(feats, texts)
 
     cfg = SemanticTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                               lr=args.lr, hidden=args.hidden)

@@ -60,6 +60,21 @@ def prepare_semantic_data(de_features: np.ndarray, text_embeddings):
     return scaler.transform(eeg), text.astype(np.float32), scaler
 
 
+def prepare_semantic_data_legacy(de_1per1s: np.ndarray, text_embeddings: np.ndarray):
+    """Legacy variant (reference EEG2Video_New/Generation/models/
+    train_semantic_predictor.py:80-115): DE_1per1s features (7,40,5,2,62,5),
+    GT-reordered blocks 0-5, averaged over the two 1 s windows -> (1200, 310);
+    targets are contiguous 200-row slices of a single text_embeddings.npy.
+    No z-scoring in this variant (the legacy Dataset scales inside itself —
+    here the scaler is returned for the caller to apply, matching behavior)."""
+    eeg = np.stack([meta.reorder_by_gt(de_1per1s[b], b) for b in range(6)])
+    # (6, 40, 5, 2, 62, 5) -> (1200, 2, 310) -> mean over windows (L114)
+    eeg = eeg.reshape(6 * 40 * 5, 2, meta.N_CHANNELS * meta.N_BANDS).mean(axis=1)
+    text = np.asarray(text_embeddings)[: 6 * 200].reshape(1200, -1)
+    scaler = StandardScaler().fit(eeg)
+    return scaler.transform(eeg), text.astype(np.float32), scaler
+
+
 def train_semantic(eeg, text, cfg: SemanticTrainConfig = SemanticTrainConfig(),
                    seed: int = 0, tp: int = 1):
     """Returns ({'params': ...}, losses).  ``tp>1`` shards the MLP over a

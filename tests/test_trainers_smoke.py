@@ -51,3 +51,19 @@ def test_prepare_seq2seq_data_and_rollout(rng):
     assert np.isfinite(losses[0])
     out = rollout_latents(variables, te_eeg[:4], batch_size=4)
     assert out.shape == (4, 6, 4, 36, 64)
+
+
+def test_prepare_semantic_data_legacy(rng):
+    from eeg2video_tpu.train.semantic import prepare_semantic_data_legacy
+
+    de = rng.standard_normal((7, 40, 5, 2, 62, 5))
+    text = rng.standard_normal((1400, 77, 8)).astype(np.float32)
+    eeg, t, scaler = prepare_semantic_data_legacy(de, text)
+    assert eeg.shape == (1200, 310)
+    assert t.shape == (1200, 77 * 8)
+    # window-mean semantics
+    b0 = de[0]
+    import numpy as _np
+    from eeg2video_tpu.data import meta as _meta
+    reordered = _meta.reorder_by_gt(b0, 0).reshape(200, 2, 310).mean(axis=1)
+    _np.testing.assert_allclose(scaler.transform(reordered), eeg[:200], rtol=1e-5)
