@@ -176,7 +176,12 @@ def _blocks(Lq, Lkv):
     """Adaptive tiling (tuned on v5e): take the WHOLE (padded) KV per grid
     cell when it fits — the online-softmax loop then runs once, which
     measured fastest (6.4ms vs 7.3ms at the level-0 shape) — and size the
-    q block so the f32 scores tile stays within ~8MB of VMEM."""
+    q block so the f32 scores tile stays within ~8MB of VMEM.
+
+    Note: the default scoped-VMEM limit here is 16MB;
+    CompilerParams(vmem_limit_bytes=...) can raise it (verified to 96MB on
+    v5e), but bigger tiles measured no faster — the kernel is compute-bound
+    at these shapes, so the default tiles stay."""
     block_k = min(4608, _round_up(Lkv, 128))
     budget = (8 * 1024 * 1024) // (4 * block_k)  # rows of f32 scores
     block_q = min(768, _round_up(Lq, 128), max(128, (budget // 128) * 128))

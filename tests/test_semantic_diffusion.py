@@ -155,3 +155,15 @@ def test_ddpm_add_noise_roundtrip(rng):
     fac = float(d.final_alpha_cumprod)
     ref = np.sqrt(fac) * x0[1] + np.sqrt(1 - fac) * eps[1]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ddim_inverse_step_is_exact_inverse(rng):
+    """inverse_step(eps, t, step(eps, t, x)) == x when the same eps is used —
+    the algebraic property ddim_inversion relies on."""
+    d = DDIMSchedule.create(num_inference_steps=50)
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 8)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((2, 4, 6, 8)).astype(np.float32))
+    for t in [991, 501, 11]:
+        down = d.step(eps, jnp.asarray(t), x)
+        back = d.inverse_step(eps, jnp.asarray(t), down)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-4, atol=1e-4)
