@@ -77,14 +77,6 @@ class Attention(nn.Module):
         )
         return dense(out)
 
-    def project_kv(self, x):
-        """Expose raw K/V projections (used by sparse-causal gathering)."""
-        inner = self.heads * self.head_dim
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
-        return k, v
-
-
 class SparseCausalAttention(nn.Module):
     """Self-attention whose K/V tokens come from frame 0 and the previous
     frame (attention.py:272-328).  Input (B, F, L, C)."""
