@@ -9,7 +9,7 @@ import argparse
 import numpy as np
 
 from ..data.io import save_array, subject_files
-from ..dsp import segment_subject
+from ..dsp import bandpass_filter, segment_subject
 from ..utils import get_logger
 
 log = get_logger(__name__)
@@ -21,10 +21,21 @@ def main(argv=None):
     p.add_argument("--output_dir", default="./data/Preprocessing/Segmented_Rawf_200Hz_2s")
     p.add_argument("--fs", type=int, default=200)
     p.add_argument("--subs", type=int, nargs="*", default=None)
+    p.add_argument(
+        "--bandpass", type=float, nargs=2, metavar=("LOW", "HIGH"),
+        default=None,
+        help="optional zero-phase Butterworth bandpass (Hz) applied to the "
+             "raw signal before segmentation (BASELINE.md preprocessing path)")
+    p.add_argument("--bandpass_order", type=int, default=4)
     args = p.parse_args(argv)
 
     for sub, path in subject_files(args.eeg_root, args.subs):
         data = np.load(path)
+        if args.bandpass is not None:
+            low, high = args.bandpass
+            data = np.asarray(
+                bandpass_filter(data, low, high, fs=args.fs,
+                                order=args.bandpass_order)).astype(data.dtype)
         segs = np.asarray(segment_subject(data, fs=args.fs))
         out = f"{args.output_dir}/sub{sub}.npy"
         save_array(out, segs.astype(data.dtype))

@@ -6,8 +6,12 @@ trainable attn1.to_q/attn2.to_q/attn_temp, AdamW 3e-5, grad clip 1.0, 200
 epochs, batch 10, bf16 (the TPU-native counterpart of fp16 autocast),
 gradient checkpointing (remat), periodic validation sampling + checkpointing.
 
-TPU redesign: one pjit-sharded train step on a (dp, tp) mesh replaces the
-Accelerate/DDP wrapper; the loss returned is already the global mean.
+TPU redesign: the Accelerate/DDP wrapper (reference L99-102, 240-242,
+`accelerate launch` multi-process) becomes a (dp, tp) mesh — ``--dp/--tp``
+flags shard the batch over dp and the attention/FFN projections over tp
+(Megatron layout) — and the whole epoch runs as ONE on-device ``lax.scan``
+with the clip set resident on device (no per-batch host dispatches, no
+per-step host syncs; per-step PRNG keys derive from state.step on device).
 """
 
 import argparse
@@ -25,7 +29,8 @@ from ..train import checkpoint as ckpt
 from ..train.videodiffusion import (
     VideoDiffusionTrainConfig,
     init_video_train_state,
-    make_video_train_step,
+    make_video_train_epoch,
+    unet_tp_rules,
 )
 from ..utils import get_logger
 
@@ -57,6 +62,11 @@ def main(argv=None):
                         "(reference validates every 100 epochs, train L343)")
     p.add_argument("--validation_steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=33)
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = all devices / tp)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size (Megatron-sharded "
+                        "attention/FFN projections)")
     args = p.parse_args(argv)
 
     if args.config:
@@ -105,27 +115,54 @@ def main(argv=None):
     if "params" in vae_params:
         vae_params = vae_params["params"]
 
+    # mesh: dp x tp over the available devices (reference multi-GPU surface:
+    # `accelerate launch`, train L99-102/240-242)
+    n_dev = len(jax.devices())
+    tp = max(args.tp, 1)
+    dp = args.dp if args.dp > 0 else max(n_dev // tp, 1)
+    mesh = None
+    if dp * tp > 1:
+        from ..parallel import make_mesh, shard_params
+
+        mesh = make_mesh(dp=dp, tp=tp)
+        params = shard_params(params, mesh, unet_tp_rules)
+        vae_params = shard_params(vae_params, mesh, None)
+        log.info("mesh: dp=%d tp=%d", dp, tp)
+
     state = init_video_train_state(params, tcfg)
-    step_fn = make_video_train_step(ucfg, vcfg, tcfg)
+    epoch_fn = make_video_train_epoch(ucfg, vcfg, tcfg, mesh=mesh)
 
     from ..utils.metrics_logger import MetricsLogger
 
     metrics = MetricsLogger(args.output_dir, "tuneavideo")
     key = jax.random.key(args.seed)
-    it = ds.batches(args.train_batch_size, seed=args.seed)
+
+    # decode every clip once; the whole set lives on device (bf16: ~1 GB at
+    # the reference's 200 x 6 x 288 x 512 clips) and epochs run as one scan
+    pixels_all = np.stack([ds[i]["pixel_values"] for i in range(len(ds))])
+    prompt_idx = np.asarray([ds[i]["prompt_ids"] for i in range(len(ds))])
+    context_all = text_emb[prompt_idx]
+    pix_dtype = jnp.dtype(tcfg.compute_dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        pixels_all = jax.device_put(jnp.asarray(pixels_all, pix_dtype), repl)
+        context_all = jax.device_put(jnp.asarray(context_all), repl)
+    else:
+        pixels_all = jnp.asarray(pixels_all, pix_dtype)
+        context_all = jnp.asarray(context_all)
+
     steps_per_epoch = max(len(ds) // args.train_batch_size, 1)
+    rng = np.random.default_rng(args.seed)
     for epoch in range(1, args.epochs + 1):
-        ep_loss = 0.0
-        for _ in range(steps_per_epoch):
-            batch = next(it)
-            ctx = text_emb[batch["prompt_ids"]]
-            state, loss = step_fn(state, vae_params,
-                                  jnp.asarray(batch["pixel_values"]),
-                                  jnp.asarray(ctx),
-                                  jax.random.fold_in(key, int(state.step)))
-            ep_loss += float(loss)
-        log.info("epoch %d train_loss %.5f", epoch, ep_loss / steps_per_epoch)
-        metrics.log(int(state.step), train_loss=ep_loss / steps_per_epoch, epoch=epoch)
+        order = rng.permutation(len(ds))[: steps_per_epoch * args.train_batch_size]
+        perm = order.reshape(steps_per_epoch, args.train_batch_size).astype(np.int32)
+        state, ep_loss = epoch_fn(state, vae_params, pixels_all, context_all,
+                                  jnp.asarray(perm), key)
+        ep_loss = float(ep_loss)  # one host sync per epoch
+        log.info("epoch %d train_loss %.5f", epoch, ep_loss)
+        metrics.log(epoch * steps_per_epoch, train_loss=ep_loss, epoch=epoch)
         if epoch % args.validation_epochs == 0:
             # sample a few clips with the current weights (reference L343-369)
             from ..diffusion.pipeline import EEG2VideoPipeline

@@ -68,9 +68,13 @@ def _attention(sd, p):
     }
 
 
-def _transformer3d(sd, p, init_block, num_layers=1):
-    """Transformer3DModel; ``init_block`` supplies fresh _temp params
-    (from_pretrained_2d backfill, unet.py:445-447)."""
+def _transformer3d(sd, p, init_block=None, num_layers=1):
+    """Transformer3DModel.  With ``init_block`` (a freshly initialized Flax
+    block tree), missing temporal modules are backfilled from it
+    (from_pretrained_2d semantics, unet.py:445-447); with ``init_block=None``
+    the state dict must be a 3-D checkpoint carrying attn_temp/norm_temp keys
+    (e.g. a reference fine-tuned UNet saved by save_pretrained,
+    train_finetune_videodiffusion.py:376-382)."""
     out = {
         "norm": _norm(sd, f"{p}.norm"),
         "proj_in": _conv(sd, f"{p}.proj_in"),
@@ -78,7 +82,14 @@ def _transformer3d(sd, p, init_block, num_layers=1):
     }
     for i in range(num_layers):
         tb = f"{p}.transformer_blocks.{i}"
-        ib = init_block[f"block{i}"]
+        if init_block is None:
+            temp = {
+                "attn_temp": _attention(sd, f"{tb}.attn_temp"),
+                "norm_temp": _norm(sd, f"{tb}.norm_temp"),
+            }
+        else:
+            ib = init_block[f"block{i}"]
+            temp = {"attn_temp": ib["attn_temp"], "norm_temp": ib["norm_temp"]}
         out[f"block{i}"] = {
             "attn1": _attention(sd, f"{tb}.attn1"),
             "norm1": _norm(sd, f"{tb}.norm1"),
@@ -89,9 +100,7 @@ def _transformer3d(sd, p, init_block, num_layers=1):
                 "out": _dense(sd, f"{tb}.ff.net.2"),
             },
             "norm3": _norm(sd, f"{tb}.norm3"),
-            # temporal modules: not in 2-D checkpoints -> fresh init
-            "attn_temp": ib["attn_temp"],
-            "norm_temp": ib["norm_temp"],
+            **temp,
         }
     return out
 
@@ -100,6 +109,17 @@ def unet3d_params_from_torch_2d(sd: Mapping[str, np.ndarray], init_params,
                                 n_down=4, layers_per_block=2):
     """diffusers UNet2DConditionModel state dict + fresh Flax init ->
     inflated UNet3DConditionModel params."""
+    return _unet3d_params(sd, init_params, n_down, layers_per_block)
+
+
+def unet3d_params_from_torch_3d(sd: Mapping[str, np.ndarray],
+                                n_down=4, layers_per_block=2):
+    """Reference 3-D UNet state dict (with attn_temp/norm_temp keys, e.g. a
+    fine-tuned checkpoint) -> Flax UNet3DConditionModel params."""
+    return _unet3d_params(sd, None, n_down, layers_per_block)
+
+
+def _unet3d_params(sd, init_params, n_down, layers_per_block):
     sd = {k: np.asarray(v) for k, v in sd.items()}
     p = {
         "conv_in": _pconv(sd, "conv_in"),
@@ -115,7 +135,8 @@ def unet3d_params_from_torch_2d(sd: Mapping[str, np.ndarray], init_params,
             blk[f"resnet{j}"] = _resnet3d(sd, f"{t}.resnets.{j}")
             if f"{t}.attentions.{j}.norm.weight" in sd:
                 blk[f"attn{j}"] = _transformer3d(
-                    sd, f"{t}.attentions.{j}", init_params[f"down{i}"][f"attn{j}"]
+                    sd, f"{t}.attentions.{j}",
+                    init_params[f"down{i}"][f"attn{j}"] if init_params else None,
                 )
         if f"{t}.downsamplers.0.conv.weight" in sd:
             blk["downsample"] = {"conv": _pconv(sd, f"{t}.downsamplers.0.conv")}
@@ -124,7 +145,9 @@ def unet3d_params_from_torch_2d(sd: Mapping[str, np.ndarray], init_params,
     mid = {
         "resnet0": _resnet3d(sd, "mid_block.resnets.0"),
         "resnet1": _resnet3d(sd, "mid_block.resnets.1"),
-        "attn0": _transformer3d(sd, "mid_block.attentions.0", init_params["mid"]["attn0"]),
+        "attn0": _transformer3d(
+            sd, "mid_block.attentions.0",
+            init_params["mid"]["attn0"] if init_params else None),
     }
     p["mid"] = mid
 
@@ -136,7 +159,8 @@ def unet3d_params_from_torch_2d(sd: Mapping[str, np.ndarray], init_params,
             blk[f"resnet{j}"] = _resnet3d(sd, f"{t}.resnets.{j}")
             if f"{t}.attentions.{j}.norm.weight" in sd:
                 blk[f"attn{j}"] = _transformer3d(
-                    sd, f"{t}.attentions.{j}", init_params[f"up{i}"][f"attn{j}"]
+                    sd, f"{t}.attentions.{j}",
+                    init_params[f"up{i}"][f"attn{j}"] if init_params else None,
                 )
         if f"{t}.upsamplers.0.conv.weight" in sd:
             blk["upsample"] = {"conv": _pconv(sd, f"{t}.upsamplers.0.conv")}

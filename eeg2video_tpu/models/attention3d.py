@@ -254,9 +254,14 @@ class Transformer3DModel(nn.Module):
     def __call__(self, x, context, *, train: bool = False):
         b, f, hh, ww, c = x.shape
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        # the reference folds frames into batch BEFORE this GroupNorm
+        # (attention.py:93-100), so statistics are per frame — unlike the
+        # resnet blocks, whose GN runs on the unfolded 5-D tensor and pools
+        # across frames (resnet.py:178).  Fold first to match.
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                         name="norm")(x.reshape(b * f, hh, ww, c))
         inner = self.heads * self.head_dim
-        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h.reshape(b * f, hh, ww, c))
+        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
         tokens = h.reshape(b, f, hh * ww, inner)
         for i in range(self.num_layers):
             tokens = BasicTransformerBlock(

@@ -103,14 +103,16 @@ class UNet3DConditionModel(nn.Module):
             is_final = i == n_blocks - 1
             if not is_final:
                 block = maybe_remat(CrossAttnDownBlock3D)(
-                    ch, cfg.layers_per_block, cfg.attention_heads,
+                    ch, cfg.norm_num_groups, cfg.norm_eps,
+                    cfg.layers_per_block, cfg.attention_heads,
                     add_downsample=True, dtype=self.dtype, name=f"down{i}",
                     train=train,
                 )
                 x, states = block(x, temb, context)
             else:
                 block = maybe_remat(DownBlock3D)(
-                    ch, cfg.layers_per_block, add_downsample=False,
+                    ch, cfg.norm_num_groups, cfg.norm_eps,
+                    cfg.layers_per_block, add_downsample=False,
                     dtype=self.dtype, name=f"down{i}", train=train,
                 )
                 x, states = block(x, temb)
@@ -118,7 +120,8 @@ class UNet3DConditionModel(nn.Module):
 
         # mid (unet.py:142-156, 376-378)
         x = maybe_remat(UNetMidBlock3DCrossAttn)(
-            cfg.block_out_channels[-1], attn_heads=cfg.attention_heads,
+            cfg.block_out_channels[-1], cfg.norm_num_groups, cfg.norm_eps,
+            attn_heads=cfg.attention_heads,
             dtype=self.dtype, name="mid", train=train,
         )(x, temb, context)
 
@@ -132,13 +135,15 @@ class UNet3DConditionModel(nn.Module):
             upsample_size = None if is_final else tuple(skips[-1].shape[2:4])
             if i == 0:
                 block = maybe_remat(UpBlock3D)(
-                    ch, n_up, add_upsample=not is_final, dtype=self.dtype,
+                    ch, cfg.norm_num_groups, cfg.norm_eps,
+                    n_up, add_upsample=not is_final, dtype=self.dtype,
                     name=f"up{i}", train=train, upsample_size=upsample_size,
                 )
                 x = block(x, res_skips, temb)
             else:
                 block = maybe_remat(CrossAttnUpBlock3D)(
-                    ch, n_up, cfg.attention_heads, add_upsample=not is_final,
+                    ch, cfg.norm_num_groups, cfg.norm_eps,
+                    n_up, cfg.attention_heads, add_upsample=not is_final,
                     dtype=self.dtype, name=f"up{i}", train=train,
                     upsample_size=upsample_size,
                 )

@@ -23,6 +23,8 @@ from .resnet3d import Downsample3D, ResnetBlock3D, Upsample3D
 
 class CrossAttnDownBlock3D(nn.Module):
     features: int
+    groups: int = 32
+    eps: float = 1e-5
     n_layers: int = 2
     attn_heads: int = 8
     add_downsample: bool = True
@@ -35,9 +37,10 @@ class CrossAttnDownBlock3D(nn.Module):
         states = ()
         head_dim = self.features // self.attn_heads
         for i in range(self.n_layers):
-            x = ResnetBlock3D(self.features, dtype=self.dtype, name=f"resnet{i}")(x, temb, train=train)
+            x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name=f"resnet{i}")(x, temb, train=train)
             x = Transformer3DModel(
-                self.attn_heads, head_dim, dtype=self.dtype, name=f"attn{i}"
+                self.attn_heads, head_dim, groups=self.groups,
+                dtype=self.dtype, name=f"attn{i}"
             )(x, context, train=train)
             states += (x,)
         if self.add_downsample:
@@ -48,6 +51,8 @@ class CrossAttnDownBlock3D(nn.Module):
 
 class DownBlock3D(nn.Module):
     features: int
+    groups: int = 32
+    eps: float = 1e-5
     n_layers: int = 2
     add_downsample: bool = True
     dtype: Optional[jnp.dtype] = None
@@ -58,7 +63,7 @@ class DownBlock3D(nn.Module):
         train = self.train
         states = ()
         for i in range(self.n_layers):
-            x = ResnetBlock3D(self.features, dtype=self.dtype, name=f"resnet{i}")(x, temb, train=train)
+            x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name=f"resnet{i}")(x, temb, train=train)
             states += (x,)
         if self.add_downsample:
             x = Downsample3D(self.features, dtype=self.dtype, name="downsample")(x)
@@ -68,6 +73,8 @@ class DownBlock3D(nn.Module):
 
 class UNetMidBlock3DCrossAttn(nn.Module):
     features: int
+    groups: int = 32
+    eps: float = 1e-5
     n_layers: int = 1
     attn_heads: int = 8
     dtype: Optional[jnp.dtype] = None
@@ -77,17 +84,20 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     def __call__(self, x, temb, context):
         train = self.train
         head_dim = self.features // self.attn_heads
-        x = ResnetBlock3D(self.features, dtype=self.dtype, name="resnet0")(x, temb, train=train)
+        x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name="resnet0")(x, temb, train=train)
         for i in range(self.n_layers):
             x = Transformer3DModel(
-                self.attn_heads, head_dim, dtype=self.dtype, name=f"attn{i}"
+                self.attn_heads, head_dim, groups=self.groups,
+                dtype=self.dtype, name=f"attn{i}"
             )(x, context, train=train)
-            x = ResnetBlock3D(self.features, dtype=self.dtype, name=f"resnet{i + 1}")(x, temb, train=train)
+            x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name=f"resnet{i + 1}")(x, temb, train=train)
         return x
 
 
 class CrossAttnUpBlock3D(nn.Module):
     features: int
+    groups: int = 32
+    eps: float = 1e-5
     n_layers: int = 3
     attn_heads: int = 8
     add_upsample: bool = True
@@ -104,9 +114,10 @@ class CrossAttnUpBlock3D(nn.Module):
             skip = skips[-1]
             skips = skips[:-1]
             x = jnp.concatenate([x, skip], axis=-1)
-            x = ResnetBlock3D(self.features, dtype=self.dtype, name=f"resnet{i}")(x, temb, train=train)
+            x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name=f"resnet{i}")(x, temb, train=train)
             x = Transformer3DModel(
-                self.attn_heads, head_dim, dtype=self.dtype, name=f"attn{i}"
+                self.attn_heads, head_dim, groups=self.groups,
+                dtype=self.dtype, name=f"attn{i}"
             )(x, context, train=train)
         if self.add_upsample:
             x = Upsample3D(self.features, dtype=self.dtype, name="upsample")(x, upsample_size)
@@ -115,6 +126,8 @@ class CrossAttnUpBlock3D(nn.Module):
 
 class UpBlock3D(nn.Module):
     features: int
+    groups: int = 32
+    eps: float = 1e-5
     n_layers: int = 3
     add_upsample: bool = True
     dtype: Optional[jnp.dtype] = None
@@ -129,7 +142,7 @@ class UpBlock3D(nn.Module):
             skip = skips[-1]
             skips = skips[:-1]
             x = jnp.concatenate([x, skip], axis=-1)
-            x = ResnetBlock3D(self.features, dtype=self.dtype, name=f"resnet{i}")(x, temb, train=train)
+            x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name=f"resnet{i}")(x, temb, train=train)
         if self.add_upsample:
             x = Upsample3D(self.features, dtype=self.dtype, name="upsample")(x, upsample_size)
         return x

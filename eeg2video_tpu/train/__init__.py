@@ -1,6 +1,7 @@
 from .videodiffusion import (
     VideoDiffusionTrainConfig,
     make_video_train_step,
+    make_video_train_epoch,
     init_video_train_state,
     unet_tp_rules,
 )

@@ -128,21 +128,7 @@ def init_video_train_state(unet_params, cfg: VideoDiffusionTrainConfig):
     )
 
 
-def make_video_train_step(
-    unet_config: UNet3DConfig = UNet3DConfig(),
-    vae_config: VAEConfig = VAEConfig(),
-    cfg: VideoDiffusionTrainConfig = VideoDiffusionTrainConfig(),
-    mesh: Optional[Mesh] = None,
-):
-    """Build the jitted train step.
-
-    step(state, vae_params, pixel_values (B,F,H,W,3), context (B,77,768), key)
-      -> (new_state, loss)
-
-    With ``mesh``, the batch is sharded over "dp" and params follow
-    ``unet_tp_rules`` over "tp" — pass params already placed (see
-    parallel.shard_params); GSPMD emits the collectives.
-    """
+def _make_loss_fn(unet_config, vae_config, cfg):
     dtype = jnp.dtype(cfg.compute_dtype)
     unet = UNet3DConditionModel(unet_config, dtype=dtype, remat=cfg.remat)
     vae = AutoencoderKL(vae_config, dtype=dtype)
@@ -166,9 +152,34 @@ def make_video_train_step(
         ).astype(jnp.float32)
         return jnp.mean((pred - noise) ** 2)
 
+    return loss_fn
+
+
+def make_video_train_step(
+    unet_config: UNet3DConfig = UNet3DConfig(),
+    vae_config: VAEConfig = VAEConfig(),
+    cfg: VideoDiffusionTrainConfig = VideoDiffusionTrainConfig(),
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted train step.
+
+    step(state, vae_params, pixel_values (B,F,H,W,3), context (B,77,768), key)
+      -> (new_state, loss)
+
+    ``key`` is a BASE key: per-step randomness is derived on device as
+    ``fold_in(key, state.step)``, so callers pass a constant and never sync
+    ``state.step`` to the host (no per-step device->host blocking).
+
+    With ``mesh``, the batch is sharded over "dp" and params follow
+    ``unet_tp_rules`` over "tp" — pass params already placed (see
+    parallel.shard_params); GSPMD emits the collectives.
+    """
+    loss_fn = _make_loss_fn(unet_config, vae_config, cfg)
+
     def step_fn(state: TrainState, vae_params, pixels, context, key):
+        k = jax.random.fold_in(key, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, vae_params, pixels, context, key
+            state.params, vae_params, pixels, context, k
         )
         return state.apply_gradients(grads), loss
 
@@ -180,5 +191,53 @@ def make_video_train_step(
     return jax.jit(
         step_fn,
         in_shardings=(None, None, batch_sh, batch_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_video_train_epoch(
+    unet_config: UNet3DConfig = UNet3DConfig(),
+    vae_config: VAEConfig = VAEConfig(),
+    cfg: VideoDiffusionTrainConfig = VideoDiffusionTrainConfig(),
+    mesh: Optional[Mesh] = None,
+):
+    """Whole-epoch trainer: ONE dispatch per epoch (repo convention, also
+    train/eegvp.py) instead of the reference's per-batch Python loop
+    (train L280-331).
+
+    epoch_fn(state, vae_params, pixels_all (N,F,H,W,3), context_all (N,77,768),
+             perm (steps, B) int32, key) -> (new_state, mean_loss)
+
+    The clip set stays resident on device; each scanned step gathers its
+    shuffled batch by index.  Per-step keys derive from state.step on device.
+    """
+    loss_fn = _make_loss_fn(unet_config, vae_config, cfg)
+    batch_spec = P("dp") if mesh is not None else None
+
+    def epoch_fn(state: TrainState, vae_params, pixels_all, context_all, perm, key):
+        def step(carry, idx):
+            st = carry
+            pixels = jnp.take(pixels_all, idx, axis=0)
+            context = jnp.take(context_all, idx, axis=0)
+            if mesh is not None:
+                pixels = jax.lax.with_sharding_constraint(
+                    pixels, NamedSharding(mesh, batch_spec))
+                context = jax.lax.with_sharding_constraint(
+                    context, NamedSharding(mesh, batch_spec))
+            k = jax.random.fold_in(key, st.step)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                st.params, vae_params, pixels, context, k
+            )
+            return st.apply_gradients(grads), loss
+
+        state, losses = jax.lax.scan(step, state, perm)
+        return state, jnp.mean(losses)
+
+    if mesh is None:
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        epoch_fn,
+        in_shardings=(None, None, repl, repl, repl, repl),
         donate_argnums=(0,),
     )

@@ -27,7 +27,9 @@ def main():
     t = jnp.zeros((2,), jnp.int32)
     ctx = jnp.zeros((2, 77, 768), jnp.bfloat16)
     shapes = jax.eval_shape(lambda: model.init(jax.random.key(0), sample, t, ctx))
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)["params"]
+    # bf16 params, matching EEG2VideoPipeline.create (bench.py) — an f32-param
+    # trace shows f32-weight convs, not what the bench runs
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes)["params"]
     f = jax.jit(lambda p, s, t, c: model.apply({"params": p}, s, t, c))
     float(jnp.sum(f(params, sample, t, ctx)))  # compile + warm
 
