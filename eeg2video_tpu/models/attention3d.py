@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import fused_attention
+from ..ops import fused_attention, fused_attention_packed
 
 # Perf-debug knobs (trace-time): lets benchmarks ablate each attention kind
 # to attribute UNet step time.  Production code leaves these untouched.
@@ -62,14 +62,9 @@ class Attention(nn.Module):
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(src)
         else:
             k, v = kv
-        n, lq = q.shape[0], q.shape[1]
-        lk = k.shape[1]
-
-        def split(t, l):
-            return t.reshape(n, l, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-
-        out = fused_attention(split(q, lq), split(k, lk), split(v, lk))
-        out = out.transpose(0, 2, 1, 3).reshape(n, lq, inner)
+        # packed layout: q/k/v stay (N, L, H*D) channels-minor end to end —
+        # no head transposes, no HBM D-padding (BENCH_NOTES round 2)
+        out = fused_attention_packed(q, k, v, self.heads)
         init = nn.initializers.zeros if self.zero_init_out else None
         dense = nn.Dense(
             out_features, dtype=self.dtype, name="to_out",
@@ -79,14 +74,20 @@ class Attention(nn.Module):
 
 class SparseCausalAttention(nn.Module):
     """Self-attention whose K/V tokens come from frame 0 and the previous
-    frame (attention.py:272-328).  Input (B, F, L, C)."""
+    frame (attention.py:272-328).  Input (B, F, L, C).
+
+    ``bias``: optional (B, 1, L) additive attention bias over the spatial KV
+    tokens (the converted attention_mask, unet.py:314-317).  Matching the
+    reference's F.pad-by-query-length quirk (attention.py:318-321), the bias
+    covers the frame-0 half of the [K0 | K_prev] keys and the previous-frame
+    half is left unmasked (pad value 0)."""
 
     heads: int
     head_dim: int
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, bias=None):
         b, f, l, c = x.shape
         inner = self.heads * self.head_dim
         flat = x.reshape(b * f, l, c)
@@ -94,15 +95,13 @@ class SparseCausalAttention(nn.Module):
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(flat)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(flat)
 
-        def heads(t, n, ln):
-            return t.reshape(n, ln, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-
-        def unheads(t, n, ln):
-            return t.transpose(0, 2, 1, 3).reshape(n, ln, inner)
-
         kf = k.reshape(b, f, l, inner)
         vf = v.reshape(b, f, l, inner)
         qf = q.reshape(b, f, l, inner)
+
+        def rep(bias_, n):
+            # (B, 1, Lkv) -> (B*n, 1, Lkv): per-frame repeat
+            return jnp.repeat(bias_, n, axis=0) if bias_ is not None else None
 
         if f >= 2:
             # frames 0 and 1 both gather [K0, K0] (former_frame_index[0]=0,
@@ -111,8 +110,8 @@ class SparseCausalAttention(nn.Module):
             q01 = qf[:, :2].reshape(b * 2, l, inner)
             k0 = jnp.broadcast_to(kf[:, :1], (b, 2, l, inner)).reshape(b * 2, l, inner)
             v0 = jnp.broadcast_to(vf[:, :1], (b, 2, l, inner)).reshape(b * 2, l, inner)
-            out01 = unheads(fused_attention(heads(q01, b * 2, l), heads(k0, b * 2, l),
-                                            heads(v0, b * 2, l)), b * 2, l)
+            out01 = fused_attention_packed(q01, k0, v0, self.heads,
+                                           bias=rep(bias, 2))
             out01 = out01.reshape(b, 2, l, inner)
 
             # frames 2..F-1: K/V = concat(frame0, frame f-1) (L292-301)
@@ -122,12 +121,14 @@ class SparseCausalAttention(nn.Module):
             v0r = jnp.broadcast_to(vf[:, :1], (b, m, l, inner))
             kg = jnp.concatenate([k0r, kf[:, 1:-1]], axis=2).reshape(b * m, 2 * l, inner)
             vg = jnp.concatenate([v0r, vf[:, 1:-1]], axis=2).reshape(b * m, 2 * l, inner)
-            outr = unheads(fused_attention(heads(qr, b * m, l), heads(kg, b * m, 2 * l),
-                                           heads(vg, b * m, 2 * l)), b * m, l)
+            bias2 = (jnp.concatenate([bias, jnp.zeros_like(bias)], axis=-1)
+                     if bias is not None else None)
+            outr = fused_attention_packed(qr, kg, vg, self.heads,
+                                          bias=rep(bias2, m))
             out = jnp.concatenate([out01, outr.reshape(b, m, l, inner)], axis=1)
         else:
-            out = unheads(fused_attention(heads(q, b * f, l), heads(k, b * f, l),
-                                          heads(v, b * f, l)), b * f, l).reshape(b, f, l, inner)
+            out = fused_attention_packed(q, k, v, self.heads,
+                                         bias=rep(bias, f)).reshape(b, f, l, inner)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
 
@@ -194,6 +195,10 @@ class GEGLUFeedForward(nn.Module):
         h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
+        # keep the gating OUT of the out-GEMM's operand fusion: fused as a
+        # per-tile prologue the GEMM measured 38 TF/s vs ~148 clean
+        # (device trace, BENCH_NOTES round 2)
+        h = jax.lax.optimization_barrier(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return nn.Dense(c, dtype=self.dtype, name="out")(h)
 
@@ -208,11 +213,11 @@ class BasicTransformerBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, context, *, train: bool = False):
+    def __call__(self, x, context, *, attention_bias=None, train: bool = False):
         b, f, l, c = x.shape
         if not KNOBS["disable_sparse"]:
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-            x = x + SparseCausalAttention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(h)
+            x = x + SparseCausalAttention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(h, bias=attention_bias)
 
         if not KNOBS["disable_cross"]:
             # cross-attention: context broadcast per frame (attention.py:94)
@@ -251,7 +256,7 @@ class Transformer3DModel(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, context, *, train: bool = False):
+    def __call__(self, x, context, *, attention_bias=None, train: bool = False):
         b, f, hh, ww, c = x.shape
         residual = x
         # the reference folds frames into batch BEFORE this GroupNorm
@@ -266,7 +271,7 @@ class Transformer3DModel(nn.Module):
         for i in range(self.num_layers):
             tokens = BasicTransformerBlock(
                 self.heads, self.head_dim, dtype=self.dtype, name=f"block{i}"
-            )(tokens, context, train=train)
+            )(tokens, context, attention_bias=attention_bias, train=train)
         h = tokens.reshape(b * f, hh, ww, inner)
         h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return residual + h.reshape(b, f, hh, ww, c)

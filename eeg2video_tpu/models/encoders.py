@@ -287,8 +287,8 @@ class GLMNet(nn.Module):
     def __call__(self, raw, feat, *, train: bool = False, return_embedding: bool = False):
         r = ShallowNetFlexible(self.emb_dim, self.C, name="rawnet")(raw, train=train)
         f = MLPNet(self.emb_dim, name="featnet")(feat, train=train)
-        emb = jnp.concatenate([r, f], axis=1)  # (B, 2*emb_dim) — the "EEG
-        # embedding" consumed by Seq2Seq (512-d at the default emb_dim=256)
+        emb = jnp.concatenate([r, f], axis=1)  # (B, 2*emb_dim) "EEG embedding"
+        # (512-d when constructed with emb_dim=256; the class default is 64)
         if return_embedding:
             return emb
         return nn.Dense(self.out_dim, name="out")(emb)

@@ -12,9 +12,9 @@ Re-design of the reference ``myTransformer``
   from a zero token and feeds its own outputs back for 6 steps with causal
   masks (L176-181); the embedded teacher ``tgt`` is computed but unused, and
   the rollout tokens never receive positional encoding.  Here the rollout is
-  a fixed-length ``lax.scan`` over a preallocated (B, 7, d) buffer — the
-  semantics are identical because the causal mask makes position i depend
-  only on positions <= i.
+  a fixed-length UNROLLED loop (6 steps) over a preallocated (B, 7, d)
+  buffer — semantics identical because the causal mask makes position i
+  depend only on positions <= i.
 - Dual heads: ``txtpredictor`` Linear(512->13) on the mean encoder output
   (trained never — kept for checkpoint parity) and ``predictor``
   Linear(512 -> 4*36*64) (L145-149).
@@ -215,7 +215,10 @@ class Seq2SeqTransformer(nn.Module):
 
         # fixed-length autoregressive rollout from a zero token (L176-181);
         # tokens are raw decoder outputs — no embedding, no PE, matching the
-        # reference exactly.  Rollout over a preallocated (B, 7, d) buffer.
+        # reference exactly.  The 6-step loop is UNROLLED over a preallocated
+        # (B, 7, d) buffer (not lax.scan: scanning over submodule calls needs
+        # nn.scan lifting, which reshapes the param tree and would break
+        # torch checkpoint interchange; at F=6 unrolling is cheap).
         L = self.n_frames + 1
         causal = jnp.triu(jnp.full((L, L), -jnp.inf), k=1)[None, None]
         buf0 = jnp.zeros((B, L, self.d_model), dtype=emb.dtype)

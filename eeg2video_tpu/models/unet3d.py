@@ -77,11 +77,28 @@ class UNet3DConditionModel(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, sample, timesteps, context, *, train: bool = False):
+    def __call__(self, sample, timesteps, context, *, attention_mask=None,
+                 train: bool = False):
         cfg = self.config
         b = sample.shape[0]
         if jnp.ndim(timesteps) == 0:
             timesteps = jnp.broadcast_to(timesteps, (b,))
+
+        # attention_mask -> additive bias, (1 - m) * -1e4 (unet.py:314-317),
+        # applied to attn1 (sparse-causal self-attention) at every level.
+        # The mask arrives at latent resolution, (B, H, W) or flat (B, H*W),
+        # and is stride-2-resampled per level to follow the downsamplers —
+        # the reference instead reuses one mask everywhere, which
+        # shape-errors in torch past level 0 (and its attn2/F.pad quirk is
+        # unreachable), so cross-attention takes no bias here.
+        level_bias = [None] * len(cfg.block_out_channels)
+        if attention_mask is not None:
+            m = attention_mask.astype(jnp.float32)
+            if m.ndim == 2:
+                m = m.reshape(b, sample.shape[2], sample.shape[3])
+            for i in range(len(cfg.block_out_channels)):
+                level_bias[i] = ((1.0 - m.reshape(b, 1, -1)) * -10000.0)
+                m = m[:, ::2, ::2]
 
         # time embedding: sinusoidal -> Dense -> SiLU -> Dense (unet.py:88-91)
         t_emb = timestep_embedding(
@@ -108,7 +125,7 @@ class UNet3DConditionModel(nn.Module):
                     add_downsample=True, dtype=self.dtype, name=f"down{i}",
                     train=train,
                 )
-                x, states = block(x, temb, context)
+                x, states = block(x, temb, context, level_bias[i])
             else:
                 block = maybe_remat(DownBlock3D)(
                     ch, cfg.norm_num_groups, cfg.norm_eps,
@@ -123,7 +140,7 @@ class UNet3DConditionModel(nn.Module):
             cfg.block_out_channels[-1], cfg.norm_num_groups, cfg.norm_eps,
             attn_heads=cfg.attention_heads,
             dtype=self.dtype, name="mid", train=train,
-        )(x, temb, context)
+        )(x, temb, context, level_bias[-1])
 
         # up path (unet.py:163-202, 381-404); layers_per_block + 1 resnets
         rev = list(reversed(cfg.block_out_channels))
@@ -147,7 +164,7 @@ class UNet3DConditionModel(nn.Module):
                     dtype=self.dtype, name=f"up{i}", train=train,
                     upsample_size=upsample_size,
                 )
-                x = block(x, res_skips, temb, context)
+                x = block(x, res_skips, temb, context, level_bias[n_blocks - 1 - i])
 
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
                          dtype=self.dtype, name="conv_norm_out")(x)

@@ -32,7 +32,7 @@ class CrossAttnDownBlock3D(nn.Module):
     train: bool = False  # attribute (static) so remat sees no bool args
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, attention_bias=None):
         train = self.train
         states = ()
         head_dim = self.features // self.attn_heads
@@ -41,7 +41,7 @@ class CrossAttnDownBlock3D(nn.Module):
             x = Transformer3DModel(
                 self.attn_heads, head_dim, groups=self.groups,
                 dtype=self.dtype, name=f"attn{i}"
-            )(x, context, train=train)
+            )(x, context, attention_bias=attention_bias, train=train)
             states += (x,)
         if self.add_downsample:
             x = Downsample3D(self.features, dtype=self.dtype, name="downsample")(x)
@@ -81,7 +81,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     train: bool = False
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, attention_bias=None):
         train = self.train
         head_dim = self.features // self.attn_heads
         x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name="resnet0")(x, temb, train=train)
@@ -89,7 +89,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
             x = Transformer3DModel(
                 self.attn_heads, head_dim, groups=self.groups,
                 dtype=self.dtype, name=f"attn{i}"
-            )(x, context, train=train)
+            )(x, context, attention_bias=attention_bias, train=train)
             x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name=f"resnet{i + 1}")(x, temb, train=train)
         return x
 
@@ -106,7 +106,7 @@ class CrossAttnUpBlock3D(nn.Module):
     upsample_size: Optional[Tuple[int, int]] = None  # static under remat
 
     @nn.compact
-    def __call__(self, x, skips: Tuple, temb, context):
+    def __call__(self, x, skips: Tuple, temb, context, attention_bias=None):
         train = self.train
         upsample_size = self.upsample_size
         head_dim = self.features // self.attn_heads
@@ -118,7 +118,7 @@ class CrossAttnUpBlock3D(nn.Module):
             x = Transformer3DModel(
                 self.attn_heads, head_dim, groups=self.groups,
                 dtype=self.dtype, name=f"attn{i}"
-            )(x, context, train=train)
+            )(x, context, attention_bias=attention_bias, train=train)
         if self.add_upsample:
             x = Upsample3D(self.features, dtype=self.dtype, name="upsample")(x, upsample_size)
         return x

@@ -1,1 +1,1 @@
-from .attention import fused_attention, mha_reference
+from .attention import fused_attention, fused_attention_packed, mha_reference

@@ -40,12 +40,18 @@ DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 _FLASH_MIN_LQ = 256  # below this the XLA path wins
 
 
-def mha_reference(q, k, v, scale=None):
-    """Plain XLA attention, (B, H, Lq, D) x (B, H, Lkv, D) -> (B, H, Lq, D)."""
+def mha_reference(q, k, v, scale=None, bias=None):
+    """Plain XLA attention, (B, H, Lq, D) x (B, H, Lkv, D) -> (B, H, Lq, D).
+
+    ``bias``: optional (B, 1, Lkv) additive attention bias (broadcast over
+    heads and query rows — the reference's attention_mask contract)."""
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)[:, :, None, :]
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
@@ -366,3 +372,380 @@ def fused_attention(q, k, v, scale=None):
     if q.shape[2] >= _FLASH_MIN_LQ:
         return _flash_attention(q, k, v, float(scale))
     return mha_reference(q, k, v, scale)
+
+
+# =============================================================================
+# Packed-layout flash attention (round 2)
+#
+# The (B, H, L, D) kernel above forces three graph-level costs at head_dim 40
+# (measured via a device trace, BENCH_NOTES.md round 2):
+#   - HBM pads of D 40 -> 128 on every q/k/v (~3 ms/UNet step),
+#   - L<->H transposes around each call (~4 ms of `copy`),
+#   - the attention output ends up L-minor, so every following LayerNorm
+#     reduction over channels is strided (~6 ms of slow reduce fusions).
+#
+# This kernel instead takes q/k/v EXACTLY as the to_q/to_k/to_v Dense layers
+# produce them — (N, L, H*D) channels-minor — and loops the H heads inside
+# the grid cell on VMEM-resident slices.  D is padded to lanes only inside
+# VMEM (free), never in HBM; the output is written back channels-minor.
+# MXU time is unchanged (a K=40 contraction costs the same pass as K=128),
+# the savings are pure HBM traffic / layout.
+# =============================================================================
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, *rest,
+                   scale, heads, head_dim, kv_len, block_k, n_kv, with_lse,
+                   with_bias):
+    """Grid (N, n_q, n_kv); refs are (1, block, H*D) packed; heads unrolled.
+    ``rest`` is ([bias_ref,] o_ref, [lse_ref,] m_ref, l_ref, acc_ref)."""
+    if with_bias:
+        bias_ref, *rest = rest
+    o_ref, *rest = rest
+    if with_lse:
+        lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # scale folded into Q once for all heads (single VPU pass)
+    qa = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    ka = k_ref[0]  # (block_k, H*D)
+    va = v_ref[0]
+    # KV-tail masking is dead work when Lkv pads exactly (level-0's 4608 does)
+    need_mask = kv_len % block_k != 0
+    if need_mask:
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (qa.shape[0], ka.shape[0]), 1) + ik * block_k
+    if with_bias:
+        brow = bias_ref[0, 0, :].astype(jnp.float32)[None, :]  # (1, block_k)
+
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(qa[:, sl], ka[:, sl], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if with_bias:
+            # additive bias, shared across heads (the reference repeats the
+            # mask per head, attention.py:318-321 / unet.py:314-317)
+            s = s + brow
+        if need_mask:
+            s = jnp.where(col < kv_len, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_ref[h]  # (block_q, 128)
+        l_prev = l_ref[h]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[h] = m_next
+        l_ref[h] = l_next
+        # PV computed TRANSPOSED: (D, bk) x (bk, bq) -> (D, bq).  On the MXU
+        # only the streaming (M) axis has 8-row granularity; K and N quantize
+        # to 128 tiles, so putting head_dim=40 on N wastes 3.2x of the PV
+        # cycles while on M it costs exactly its FLOPs.
+        pv_t = jax.lax.dot_general(
+            va[:, sl], p.astype(va.dtype), (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (D, block_q)
+        acc_ref[h] = acc_ref[h] * alpha[:, 0][None, :] + pv_t
+
+    @pl.when(ik == n_kv - 1)
+    def _store():
+        outs = []
+        for h in range(heads):
+            out_t = acc_ref[h] / l_ref[h][:, 0][None, :]  # (D, block_q)
+            outs.append(out_t.T.astype(o_ref.dtype))
+        o_ref[0] = jnp.concatenate(outs, axis=-1)
+        if with_lse:
+            lse_ref[0] = jnp.stack(
+                [m_ref[h] + jnp.log(l_ref[h]) for h in range(heads)],
+                axis=0)  # (H, block_q, 128)
+
+
+def _blocks_packed(Lq, Lkv, HD, heads, with_lse):
+    """Tile sizes for the packed kernel under the 16MB scoped-VMEM limit.
+
+    Accounts for Mosaic's double-buffering of in/out blocks (x2 on q/k/v/out
+    and the lse block) plus the f32 scores temporary and per-head m/l/acc
+    scratch; aims at ~11MB to leave headroom for Mosaic-internal temporaries
+    (33MB stack OOM observed with naive whole-KV packed tiles)."""
+    lkvp = _round_up(Lkv, 128)
+    # whole-KV when it fits the (raised, 64MB) scoped-VMEM budget: the
+    # online-softmax loop then runs once per q block — measured fastest
+    bk = min(lkvp, max(128, (12 * 1024 * 1024 // (4 * HD * 2)) // 128 * 128))
+    budget = 40 * 1024 * 1024 - 2 * 2 * bk * HD * 2
+    per_row = (4 * bk  # f32 scores
+               + heads * 4 * 128 * 3  # m, l, acc scratch
+               + (heads * 4 * 128 * 2 if with_lse else 0)  # lse out block x2
+               + 2 * HD * 2 * 2)  # q + out blocks, double-buffered
+    bq = max(128, min(768, _round_up(Lq, 128),
+                      (budget // per_row) // 128 * 128))
+    return bq, bk
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret",
+                                             "return_lse"))
+def _flash_fwd_packed(q, k, v, heads, scale, interpret=False,
+                      return_lse=False, bias=None):
+    """q (N, Lq, H*D), k/v (N, Lkv, H*D) channels-minor -> out (N, Lq, H*D).
+
+    ``bias``: optional (N, 1, Lkv) additive attention bias, shared across
+    heads and query rows (the reference's attention_mask contract,
+    unet.py:314-317).  lse (if requested) is (N, H, Lqp, 128)."""
+    N, Lq, HD = q.shape
+    Lkv = k.shape[1]
+    D = HD // heads
+    block_q, block_k = _blocks_packed(Lq, Lkv, HD, heads, return_lse)
+    qp = _pad_to(q, 1, block_q)
+    kp = _pad_to(k, 1, block_k)
+    vp = _pad_to(v, 1, block_k)
+    Lqp = qp.shape[1]
+    n_q = Lqp // block_q
+    n_kv = kp.shape[1] // block_k
+
+    inputs = [qp, kp, vp]
+    in_specs = [
+        pl.BlockSpec((1, block_q, HD), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, HD), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, HD), lambda b, i, j: (b, j, 0)),
+    ]
+    if bias is not None:
+        # pad the KV tail with the mask value so padded columns stay dead
+        # even when block_k divides Lkv exactly elsewhere
+        bp = jnp.pad(bias.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, n_kv * block_k - Lkv)),
+                     constant_values=DEFAULT_MASK_VALUE)
+        inputs.append(bp)
+        in_specs.append(pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)))
+
+    out_shape = [jax.ShapeDtypeStruct((N, Lqp, HD), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, HD), lambda b, i, j: (b, i, 0))]
+    if return_lse:
+        out_shape.append(jax.ShapeDtypeStruct((N, heads, Lqp, 128), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, heads, block_q, 128), lambda b, i, j: (b, 0, i, 0)))
+
+    res = pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale, heads=heads,
+                          head_dim=D, kv_len=Lkv, block_k=block_k, n_kv=n_kv,
+                          with_lse=return_lse, with_bias=bias is not None),
+        out_shape=tuple(out_shape),
+        grid=(N, n_q, n_kv),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((heads, block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((heads, block_q, 128), jnp.float32),  # running sum
+            pltpu.VMEM((heads, D, block_q), jnp.float32),  # out accumulators^T
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Mosaic's own temporaries put the packed tiles slightly past the
+            # 16MB default scoped limit; the chip carries 128MB VMEM
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    if return_lse:
+        out, lse = res
+        return out[:, :Lq], lse
+    return res[0][:, :Lq]
+
+
+# --- GSPMD partitioning ------------------------------------------------------
+#
+# Without this, pjit treats the pallas_call as opaque and REPLICATES it: a
+# tp-sharded UNet all-gathers q/k/v around every flash call (measured: 12
+# all-gathers at one call on an 8-device mesh).  The packed layout makes the
+# partitioning natural: dim 0 is batch (dp), dim 2 is head-major channels, so
+# a "tp" sharding on the Dense outputs splits on head boundaries and each
+# shard runs the kernel on its local heads.
+
+def _spec_get(spec, i):
+    return spec[i] if i < len(spec) else None
+
+
+def _axis_size(mesh, names):
+    if names is None:
+        return 1
+    if isinstance(names, (tuple, list)):
+        size = 1
+        for n in names:
+            size *= mesh.shape[n]
+        return size
+    return mesh.shape[names]
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_cp(heads, head_dim, scale, return_lse, interpret):
+    from jax.experimental.custom_partitioning import (
+        SdyShardingRule,
+        custom_partitioning,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def f(q, k, v):
+        return _flash_fwd_packed(q, k, v, heads, scale, interpret=interpret,
+                                 return_lse=return_lse)
+
+    def _shardings(mesh, q_sharding, head_dim):
+        spec = getattr(q_sharding, "spec", P())
+        n_ax, c_ax = _spec_get(spec, 0), _spec_get(spec, 2)
+        tp = _axis_size(mesh, c_ax)
+        if heads % tp != 0:  # cannot split inside a head: replicate channels
+            c_ax, tp = None, 1
+        arg = NamedSharding(mesh, P(n_ax, None, c_ax))
+        outs = (NamedSharding(mesh, P(n_ax, None, c_ax)),)
+        if return_lse:
+            outs += (NamedSharding(mesh, P(n_ax, c_ax, None, None)),)
+        return arg, outs, tp
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        _, outs, _ = _shardings(mesh, arg_shapes[0].sharding, None)
+        return outs if return_lse else outs[0]
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg, outs, tp = _shardings(mesh, arg_shapes[0].sharding, None)
+
+        def lower_fn(q, k, v):
+            return _flash_fwd_packed(q, k, v, heads // tp, scale,
+                                     interpret=interpret,
+                                     return_lse=return_lse)
+
+        return (mesh, lower_fn, outs if return_lse else outs[0],
+                (arg, arg, arg))
+
+    # Shardy rule: channels are a compound (h d) factor; only n (batch) and
+    # h (heads) may shard — lq/lkv/d (and the lse minor dims) must stay whole.
+    from jax.experimental.custom_partitioning import CompoundFactor
+
+    hd = CompoundFactor("h", "d")
+    operands = (("n", "lq", hd), ("n", "lkv", hd), ("n", "lkv", hd))
+    results = (("n", "lq", hd),)
+    if return_lse:
+        results += (("n", "h", "lqp", "r"),)
+    # factor sizes only for factors that never appear as a whole dimension
+    sizes = {"d": head_dim}
+    if not return_lse:
+        sizes["h"] = heads
+    rule = SdyShardingRule(
+        operands, results,
+        # must be sorted by first-appearance factor index: lq < d < lkv < ...
+        need_replication_factors=("lq", "d", "lkv")
+        + (("lqp", "r") if return_lse else ()),
+        **sizes,
+    )
+
+    f.def_partition(
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention_packed(q, k, v, heads, scale):
+    interpret = jax.default_backend() != "tpu"
+    return _packed_cp(heads, q.shape[-1] // heads, scale, False,
+                      interpret)(q, k, v)
+
+
+def _flash_attention_packed_fwd(q, k, v, heads, scale):
+    interpret = jax.default_backend() != "tpu"
+    out, lse = _packed_cp(heads, q.shape[-1] // heads, scale, True,
+                          interpret)(q, k, v)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_attention_packed_bwd(heads, scale, res, g):
+    """Backward reuses the (B, H, L, D)-layout Pallas passes; the layout
+    transposes only run under grad (training), never in the sampling path."""
+    q, k, v, out, lse = res
+    interpret = jax.default_backend() != "tpu"
+    N, Lq, HD = q.shape
+    Lkv = k.shape[1]
+    D = HD // heads
+
+    def to_bhld(t, L):
+        return t.reshape(N, L, heads, D).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = to_bhld(q, Lq), to_bhld(k, Lkv), to_bhld(v, Lkv)
+    gh, oh = to_bhld(g, Lq), to_bhld(out, Lq)
+    delta = jnp.sum(gh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1)
+    lse2 = lse.reshape(N * heads, lse.shape[2], 128)
+    dq, dk, dv = _flash_bwd(qh, kh, vh, gh, lse2, delta, scale,
+                            interpret=interpret)
+
+    def to_packed(t, L):
+        return t.transpose(0, 2, 1, 3).reshape(N, L, HD)
+
+    return to_packed(dq, Lq), to_packed(dk, Lkv), to_packed(dv, Lkv)
+
+
+_flash_attention_packed.defvjp(_flash_attention_packed_fwd,
+                               _flash_attention_packed_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention_packed_biased(q, k, v, bias, heads, scale):
+    interpret = jax.default_backend() != "tpu"
+    return _flash_fwd_packed(q, k, v, heads, scale, interpret=interpret,
+                             bias=bias)
+
+
+def _packed_xla(q, k, v, bias, heads, scale):
+    n, lq = q.shape[0], q.shape[1]
+    lkv = k.shape[1]
+    hd = q.shape[-1] // heads
+
+    def split(t, l):
+        return t.reshape(n, l, heads, hd).transpose(0, 2, 1, 3)
+
+    out = mha_reference(split(q, lq), split(k, lkv), split(v, lkv), scale,
+                        bias=bias)
+    return out.transpose(0, 2, 1, 3).reshape(n, lq, heads * hd)
+
+
+def _flash_packed_biased_fwd(q, k, v, bias, heads, scale):
+    return _flash_attention_packed_biased(q, k, v, bias, heads, scale), \
+        (q, k, v, bias)
+
+
+def _flash_packed_biased_bwd(heads, scale, res, g):
+    """Masked attention is not on the reference training path; the backward
+    recomputes through the XLA formulation (materializes scores) so grads —
+    including the bias grad — are exact without a dedicated Pallas pass."""
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q, k, v, b: _packed_xla(q, k, v, b, heads, scale),
+                     q, k, v, bias)
+    return vjp(g)
+
+
+_flash_attention_packed_biased.defvjp(_flash_packed_biased_fwd,
+                                      _flash_packed_biased_bwd)
+
+
+def fused_attention_packed(q, k, v, heads, scale=None, bias=None):
+    """Packed-layout dispatching attention: (N, Lq, H*D) x (N, Lkv, H*D) ->
+    (N, Lq, H*D), no head-axis transposes in the graph.  Long sequences hit
+    the packed Pallas kernel; short ones unpack to the XLA path.
+
+    ``bias``: optional (N, 1, Lkv) additive attention bias (the reference's
+    attention_mask converted via (1-m)*-1e4, unet.py:314-317)."""
+    hd = q.shape[-1] // heads
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(hd))
+    if q.shape[1] >= _FLASH_MIN_LQ:
+        if bias is not None:
+            return _flash_attention_packed_biased(q, k, v, bias, heads,
+                                                  float(scale))
+        return _flash_attention_packed(q, k, v, heads, float(scale))
+    return _packed_xla(q, k, v, bias, heads, float(scale))

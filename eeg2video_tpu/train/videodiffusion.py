@@ -80,6 +80,9 @@ class VideoDiffusionTrainConfig:
     gradient_accumulation_steps: int = 1
     compute_dtype: str = "bfloat16"
     remat: bool = True
+    # False = reference freeze rule (only attn1.to_q/attn2.to_q/attn_temp,
+    # train L142-146); True = full fine-tune (every parameter trainable)
+    train_all: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -99,7 +102,8 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: VideoDiffusionTrainConfig, params) -> optax.GradientTransformation:
     labels = jax.tree_util.tree_map_with_path(
-        lambda p, _: "train" if trainable(p) else "freeze", params)
+        lambda p, _: "train" if (cfg.train_all or trainable(p)) else "freeze",
+        params)
     tx = optax.multi_transform(
         {
             "train": optax.chain(

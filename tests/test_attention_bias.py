@@ -1,0 +1,89 @@
+"""Additive attention-bias operand (VERDICT round-1 missing #5 / next #8):
+the fused kernel takes the reference's converted attention_mask
+((1-m)*-1e4, unet.py:314-317) as one extra operand, masked-add before the
+online softmax.  Tested against the XLA path, through grad, and end to end
+through the UNet."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eeg2video_tpu.ops.attention import fused_attention_packed
+
+H, D = 8, 40
+
+
+def test_flash_bias_matches_xla(rng):
+    N, L, Lkv = 2, 256, 300
+    q = rng.standard_normal((N, L, H * D)).astype(np.float32)
+    k = rng.standard_normal((N, Lkv, H * D)).astype(np.float32)
+    v = rng.standard_normal((N, Lkv, H * D)).astype(np.float32)
+    mask = (rng.random((N, 1, Lkv)) > 0.3).astype(np.float32)
+    bias = (1.0 - mask) * -10000.0
+    out = np.asarray(fused_attention_packed(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H, bias=jnp.asarray(bias)))
+
+    from eeg2video_tpu.ops.attention import _packed_xla
+
+    ref = np.asarray(_packed_xla(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v), jnp.asarray(bias), H,
+                                 1.0 / np.sqrt(D)))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+    # masked columns must have (near-)zero influence: fully masking all but
+    # one column reproduces that column's value row
+    one = np.full((N, 1, Lkv), -10000.0, np.float32)
+    one[:, :, 7] = 0.0
+    out1 = np.asarray(fused_attention_packed(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H, bias=jnp.asarray(one)))
+    np.testing.assert_allclose(out1, np.broadcast_to(v[:, 7:8], out1.shape),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_flash_bias_grad_matches_xla(rng):
+    N, L = 1, 256
+    q = jnp.asarray(rng.standard_normal((N, L, H * D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((N, L, H * D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((N, L, H * D)).astype(np.float32))
+    bias = jnp.asarray(
+        ((rng.random((N, 1, L)) > 0.2) - 1.0) * 10000.0).astype(jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fused_attention_packed(q, k, v, H, bias=bias) ** 2)
+
+    from eeg2video_tpu.ops.attention import _packed_xla
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_packed_xla(q, k, v, bias, H, 1.0 / np.sqrt(D)) ** 2)
+
+    gf = jax.grad(loss_flash, (0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, (0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_unet_attention_mask(rng):
+    """all-ones mask == no mask; zeroing a spatial region changes the
+    output there at every level (the mask is stride-2-tracked)."""
+    from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+
+    cfg = UNet3DConfig.tiny()
+    model = UNet3DConditionModel(cfg)
+    x = rng.standard_normal((1, 2, 12, 16, 4)).astype(np.float32)
+    ctx = rng.standard_normal((1, 7, cfg.cross_attention_dim)).astype(np.float32)
+    variables = model.init(jax.random.key(0), x, jnp.asarray([3]), ctx)
+
+    base = np.asarray(model.apply(variables, x, jnp.asarray([3]), ctx))
+    ones = np.ones((1, 12, 16), np.float32)
+    masked_same = np.asarray(model.apply(variables, x, jnp.asarray([3]), ctx,
+                                         attention_mask=jnp.asarray(ones)))
+    np.testing.assert_allclose(masked_same, base, rtol=1e-5, atol=1e-5)
+
+    hole = ones.copy()
+    hole[:, :6, :8] = 0.0
+    masked = np.asarray(model.apply(variables, x, jnp.asarray([3]), ctx,
+                                    attention_mask=jnp.asarray(hole)))
+    assert not np.allclose(masked, base, atol=1e-4)
+    assert np.all(np.isfinite(masked))
