@@ -282,7 +282,9 @@ def _flash_bwd(q, k, v, do, lse, delta, scale, interpret=False):
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, scale=scale, kv_len=Lkv,
                           block_k=block_k, n_kv=n_kv),
-        out_shape=jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+        # emit dq in the input dtype: a padded f32 buffer here is ~380MB at
+        # the reference's training batch
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
         grid=(bh, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, block_q, Dp), lambda b, i, j: (b, i, 0)),
@@ -315,8 +317,8 @@ def _flash_bwd(q, k, v, do, lse, delta, scale, interpret=False):
         functools.partial(_flash_dkv_kernel, scale=scale, kv_len=Lkv,
                           block_q=bq2, block_k=bk2, n_q=n_q2),
         out_shape=(
-            jax.ShapeDtypeStruct(kp2.shape, jnp.float32),
-            jax.ShapeDtypeStruct(vp2.shape, jnp.float32),
+            jax.ShapeDtypeStruct(kp2.shape, k.dtype),
+            jax.ShapeDtypeStruct(vp2.shape, v.dtype),
         ),
         grid=(bh, n_kv2),
         in_specs=[
@@ -393,6 +395,53 @@ def fused_attention(q, k, v, scale=None):
 # =============================================================================
 
 
+def _packed_single_kernel(q_ref, k_ref, v_ref, *rest,
+                          scale, heads, head_dim, kv_len, with_lse,
+                          with_bias):
+    """Whole-KV-in-one-block specialization (the generation path): no
+    running-max/sum scratch, no per-cell memsets — straight softmax.
+    ``rest`` is ([bias_ref,] o_ref [, lse_ref])."""
+    if with_bias:
+        bias_ref, *rest = rest
+    if with_lse:
+        o_ref, lse_ref = rest
+    else:
+        (o_ref,) = rest
+
+    qa = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    ka = k_ref[0]
+    va = v_ref[0]
+    need_mask = kv_len < ka.shape[0]
+    if need_mask and not with_bias:
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (qa.shape[0], ka.shape[0]), 1)
+    if with_bias:
+        brow = bias_ref[0, 0, :].astype(jnp.float32)[None, :]
+
+    outs, lses = [], []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(qa[:, sl], ka[:, sl], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if with_bias:
+            s = s + brow  # bias KV-tail is pre-filled with the mask value
+        elif need_mask:
+            s = jnp.where(col < kv_len, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv_t = jax.lax.dot_general(
+            va[:, sl], p.astype(va.dtype), (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (D, bq)
+        outs.append((pv_t / l[:, 0][None, :]).T.astype(o_ref.dtype))
+        if with_lse:
+            lses.append(jnp.broadcast_to((m + jnp.log(l))[:, 0][None, :],
+                                         (8, qa.shape[0])))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+    if with_lse:
+        lse_ref[0] = jnp.stack(lses, axis=0)  # (H, 8, block_q)
+
+
 def _packed_kernel(q_ref, k_ref, v_ref, *rest,
                    scale, heads, head_dim, kv_len, block_k, n_kv, with_lse,
                    with_bias):
@@ -463,8 +512,11 @@ def _packed_kernel(q_ref, k_ref, v_ref, *rest,
         o_ref[0] = jnp.concatenate(outs, axis=-1)
         if with_lse:
             lse_ref[0] = jnp.stack(
-                [m_ref[h] + jnp.log(l_ref[h]) for h in range(heads)],
-                axis=0)  # (H, block_q, 128)
+                [jnp.broadcast_to(
+                    (m_ref[h] + jnp.log(l_ref[h]))[:, 0][None, :],
+                    (8, m_ref.shape[1]))
+                 for h in range(heads)],
+                axis=0)  # (H, 8, block_q)
 
 
 def _blocks_packed(Lq, Lkv, HD, heads, with_lse):
@@ -477,6 +529,7 @@ def _blocks_packed(Lq, Lkv, HD, heads, with_lse):
     lkvp = _round_up(Lkv, 128)
     # whole-KV when it fits the (raised, 64MB) scoped-VMEM budget: the
     # online-softmax loop then runs once per q block — measured fastest
+    # (half-KV pipelining experiment: flash 17.9 -> 19.4 ms/step, reverted)
     bk = min(lkvp, max(128, (12 * 1024 * 1024 // (4 * HD * 2)) // 128 * 128))
     budget = 40 * 1024 * 1024 - 2 * 2 * bk * HD * 2
     per_row = (4 * bk  # f32 scores
@@ -526,23 +579,38 @@ def _flash_fwd_packed(q, k, v, heads, scale, interpret=False,
     out_shape = [jax.ShapeDtypeStruct((N, Lqp, HD), q.dtype)]
     out_specs = [pl.BlockSpec((1, block_q, HD), lambda b, i, j: (b, i, 0))]
     if return_lse:
-        out_shape.append(jax.ShapeDtypeStruct((N, heads, Lqp, 128), jnp.float32))
+        # (N, H, 8, Lqp): Lqp on lanes, minimal sublane replication — the
+        # lane-replicated (…, Lqp, 128) form costs 16x the HBM (540MB at the
+        # training batch)
+        out_shape.append(jax.ShapeDtypeStruct((N, heads, 8, Lqp), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((1, heads, block_q, 128), lambda b, i, j: (b, 0, i, 0)))
+            pl.BlockSpec((1, heads, 8, block_q), lambda b, i, j: (b, 0, 0, i)))
+
+    if n_kv == 1:
+        # whole-KV single block (the generation path): no online-softmax
+        # state, no scratch memsets
+        kern = functools.partial(
+            _packed_single_kernel, scale=scale, heads=heads, head_dim=D,
+            kv_len=Lkv, with_lse=return_lse, with_bias=bias is not None)
+        scratch = []
+    else:
+        kern = functools.partial(
+            _packed_kernel, scale=scale, heads=heads, head_dim=D, kv_len=Lkv,
+            block_k=block_k, n_kv=n_kv, with_lse=return_lse,
+            with_bias=bias is not None)
+        scratch = [
+            pltpu.VMEM((heads, block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((heads, block_q, 128), jnp.float32),  # running sum
+            pltpu.VMEM((heads, D, block_q), jnp.float32),  # out accumulators^T
+        ]
 
     res = pl.pallas_call(
-        functools.partial(_packed_kernel, scale=scale, heads=heads,
-                          head_dim=D, kv_len=Lkv, block_k=block_k, n_kv=n_kv,
-                          with_lse=return_lse, with_bias=bias is not None),
+        kern,
         out_shape=tuple(out_shape),
         grid=(N, n_q, n_kv),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        scratch_shapes=[
-            pltpu.VMEM((heads, block_q, 128), jnp.float32),  # running max
-            pltpu.VMEM((heads, block_q, 128), jnp.float32),  # running sum
-            pltpu.VMEM((heads, D, block_q), jnp.float32),  # out accumulators^T
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # Mosaic's own temporaries put the packed tiles slightly past the
@@ -630,7 +698,7 @@ def _packed_cp(heads, head_dim, scale, return_lse, interpret):
     operands = (("n", "lq", hd), ("n", "lkv", hd), ("n", "lkv", hd))
     results = (("n", "lq", hd),)
     if return_lse:
-        results += (("n", "h", "lqp", "r"),)
+        results += (("n", "h", "r8", "lqp"),)
     # factor sizes only for factors that never appear as a whole dimension
     sizes = {"d": head_dim}
     if not return_lse:
@@ -639,7 +707,7 @@ def _packed_cp(heads, head_dim, scale, return_lse, interpret):
         operands, results,
         # must be sorted by first-appearance factor index: lq < d < lkv < ...
         need_replication_factors=("lq", "d", "lkv")
-        + (("lqp", "r") if return_lse else ()),
+        + (("r8", "lqp") if return_lse else ()),
         **sizes,
     )
 
@@ -662,7 +730,8 @@ def _flash_attention_packed_fwd(q, k, v, heads, scale):
     interpret = jax.default_backend() != "tpu"
     out, lse = _packed_cp(heads, q.shape[-1] // heads, scale, True,
                           interpret)(q, k, v)
-    return out, (q, k, v, out, lse)
+    # keep one sublane of the (N, H, 8, Lqp) replicated lse as the residual
+    return out, (q, k, v, out, lse[:, :, 0, :])
 
 
 def _flash_attention_packed_bwd(heads, scale, res, g):
@@ -680,7 +749,9 @@ def _flash_attention_packed_bwd(heads, scale, res, g):
     qh, kh, vh = to_bhld(q, Lq), to_bhld(k, Lkv), to_bhld(v, Lkv)
     gh, oh = to_bhld(g, Lq), to_bhld(out, Lq)
     delta = jnp.sum(gh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1)
-    lse2 = lse.reshape(N * heads, lse.shape[2], 128)
+    lse2 = jnp.broadcast_to(  # re-replicate the stored single lane
+        lse.reshape(N * heads, lse.shape[2], 1),
+        (N * heads, lse.shape[2], 128))
     dq, dk, dv = _flash_bwd(qh, kh, vh, gh, lse2, delta, scale,
                             interpret=interpret)
 

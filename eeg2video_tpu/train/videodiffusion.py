@@ -100,24 +100,31 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def trainable_mask(cfg: VideoDiffusionTrainConfig, params):
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: cfg.train_all or trainable(p), params)
+
+
 def make_optimizer(cfg: VideoDiffusionTrainConfig, params) -> optax.GradientTransformation:
-    labels = jax.tree_util.tree_map_with_path(
-        lambda p, _: "train" if (cfg.train_all or trainable(p)) else "freeze",
-        params)
-    tx = optax.multi_transform(
-        {
-            "train": optax.chain(
+    mask = trainable_mask(cfg, params)
+    inv_mask = jax.tree.map(lambda m: not m, mask)
+    # optax.masked (NOT multi_transform): masked leaves get no optimizer
+    # state — multi_transform inits Adam moments for the FULL tree, ~2.6 GB
+    # of dead f32 moments for the frozen SD weights, enough to OOM the
+    # reference's batch-10 recipe on one 16 GB chip.  Frozen leaves pass
+    # through the first transform untouched and are zeroed by the second.
+    tx = optax.chain(
+        optax.masked(
+            optax.chain(
                 optax.clip_by_global_norm(cfg.max_grad_norm),
                 optax.adamw(
                     cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
                     eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
                 ),
             ),
-            # frozen params receive zero updates (optax.masked would pass raw
-            # gradients through for unmasked leaves)
-            "freeze": optax.set_to_zero(),
-        },
-        labels,
+            mask,
+        ),
+        optax.masked(optax.set_to_zero(), inv_mask),
     )
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
@@ -139,6 +146,12 @@ def _make_loss_fn(unet_config, vae_config, cfg):
     ddpm = DDPMSchedule.create()
 
     def loss_fn(params, vae_params, pixels, context, key):
+        # frozen params are constants (torch requires_grad=False, train
+        # L142-146): stop_gradient prunes their weight-grad GEMMs and buffers
+        if not cfg.train_all:
+            params = jax.tree_util.tree_map_with_path(
+                lambda p, x: x if trainable(p) else jax.lax.stop_gradient(x),
+                params)
         b, f = pixels.shape[0], pixels.shape[1]
         k_t, k_eps, k_lat = jax.random.split(key, 3)
         frames = pixels.reshape((b * f,) + pixels.shape[2:]).astype(dtype)
