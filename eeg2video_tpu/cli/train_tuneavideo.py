@@ -137,10 +137,10 @@ def main(argv=None):
     metrics = MetricsLogger(args.output_dir, "tuneavideo")
     key = jax.random.key(args.seed)
 
-    # decode every clip once; the whole set lives on device (bf16: ~1 GB at
-    # the reference's 200 x 6 x 288 x 512 clips) and epochs run as one scan
-    pixels_all = np.stack([ds[i]["pixel_values"] for i in range(len(ds))])
-    prompt_idx = np.asarray([ds[i]["prompt_ids"] for i in range(len(ds))])
+    # decode every clip once (C++ thread-pool decoder); the whole set lives
+    # on device (bf16: ~1 GB at the reference's 200 x 6 x 288 x 512 clips)
+    # and epochs run as one scan
+    pixels_all, prompt_idx = ds.load_all()
     context_all = text_emb[prompt_idx]
     pix_dtype = jnp.dtype(tcfg.compute_dtype)
     if mesh is not None:

@@ -128,3 +128,75 @@ class NpyBatchLoader:
             self.close()
         except Exception:
             pass
+
+
+# --- native video clip decoder ----------------------------------------------
+
+_VLIB_PATH = os.path.join(os.path.dirname(__file__), "..", "_native",
+                          "libvideodecoder.so")
+_vlib = None
+
+
+def _load_video_lib():
+    global _vlib
+    if _vlib is not None:
+        return _vlib
+    path = os.path.abspath(_VLIB_PATH)
+    if not os.path.exists(path):
+        script = os.path.join(os.path.dirname(path), "..", "..", "scripts",
+                              "build_native.sh")
+        try:
+            subprocess.run(["bash", os.path.abspath(script)], check=True,
+                           capture_output=True, timeout=300)
+        except Exception:
+            return None
+        if not os.path.exists(path):
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.e2v_decode_clips.restype = ctypes.c_int
+    lib.e2v_decode_clips.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    _vlib = lib
+    return lib
+
+
+def video_decoder_available() -> bool:
+    return _load_video_lib() is not None
+
+
+def decode_clips(paths, width: int, height: int, n_frames: int,
+                 frame_stride: int = 1, start_idx: int = 0,
+                 n_threads: int = 0) -> np.ndarray:
+    """Decode a list of videos into one (N, n_frames, H, W, 3) float32 array
+    in [-1, 1] — the reference's decord dataset semantics (dataset.py:41-88)
+    — using the C++ thread-pool decoder (csrc/video_decoder.cpp); falls back
+    to the per-clip cv2 python loop when the native library is unavailable.
+
+    Short clips are zero-padded on the frame axis (and reported via the
+    returned array only; callers with ragged clips should keep lists)."""
+    lib = _load_video_lib()
+    n = len(paths)
+    out = np.empty((n, n_frames, height, width, 3), np.float32)
+    if lib is not None and n > 0:
+        cpaths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+        written = np.zeros((n,), np.int32)
+        ok = lib.e2v_decode_clips(cpaths, n, width, height, n_frames,
+                                  frame_stride, start_idx, out.ctypes.data,
+                                  written.ctypes.data, n_threads)
+        if ok == n:
+            return out
+        # fall through to the python path for robustness if any clip failed
+    from .video import read_video_frames
+
+    for i, p in enumerate(paths):
+        frames = read_video_frames(p, resize_hw=(height, width))
+        idx = np.arange(start_idx, len(frames), frame_stride)[:n_frames]
+        clip = frames[idx].astype(np.float32) / 127.5 - 1.0
+        out[i] = 0.0
+        out[i, :len(clip)] = clip
+    return out

@@ -138,6 +138,17 @@ class VideoClipDataset:
         clip = frames[idx].astype(np.float32) / 127.5 - 1.0
         return {"pixel_values": clip, "prompt_ids": self.prompt_ids[i]}
 
+    def load_all(self, n_threads: int = 0):
+        """Decode every clip once into (N, F, H, W, 3) float32 [-1, 1] using
+        the C++ thread-pool decoder (csrc/video_decoder.cpp; cv2 fallback) —
+        feeds the on-device whole-epoch trainers."""
+        from .native import decode_clips
+
+        pixels = decode_clips(self.video_paths, self.width, self.height,
+                              self.n_sample_frames, self.sample_frame_rate,
+                              self.sample_start_idx, n_threads)
+        return pixels, np.asarray(self.prompt_ids)
+
     def batches(self, batch_size: int, shuffle=True, seed=0, drop_last=True):
         """Simple host-side batch iterator (replaces torch DataLoader)."""
         order = np.arange(len(self))
