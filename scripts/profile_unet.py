@@ -1,17 +1,16 @@
-"""Capture a jax.profiler device trace of one UNet forward (round-2 perf
-tooling).  Writes an xplane trace under --logdir for offline inspection.
+"""Capture + summarize a device trace of one UNet forward (the round-2 perf
+workflow, now via eeg2video_tpu.utils.profiling).
 
-Usage: python scripts/profile_unet.py --logdir /tmp/unet_trace
+Usage: PYTHONPATH=. python scripts/profile_unet.py --logdir /tmp/unet_trace
 """
 
 import argparse
-import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+from eeg2video_tpu.utils import profiling
 
 
 def main():
@@ -33,12 +32,17 @@ def main():
     f = jax.jit(lambda p, s, t, c: model.apply({"params": p}, s, t, c))
     float(jnp.sum(f(params, sample, t, ctx)))  # compile + warm
 
-    with jax.profiler.trace(args.logdir):
+    with profiling.trace(args.logdir):
         for _ in range(args.iters):
             out = f(params, sample, t, ctx)
-        float(jnp.sum(out))
+        float(jnp.sum(out))  # tunnel-safe sync (host reduction)
     print(f"trace written to {args.logdir}")
+    print(profiling.summarize(profiling.load_trace(args.logdir),
+                              n_iters=args.iters))
 
 
 if __name__ == "__main__":
     main()
+    import os
+
+    os._exit(0)
