@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import fused_attention, fused_attention_packed
+from ..ops import (fused_attention, fused_attention_packed, fused_ff_ln,
+                   fused_geglu_out)
 
 # Perf-debug knobs (trace-time): lets benchmarks ablate each attention kind
 # to attribute UNet step time.  Production code leaves these untouched.
@@ -181,6 +182,27 @@ class TemporalAttentionUnrolled(nn.Module):
                         dtype=self.dtype, name="to_out")(out)
 
 
+class _FusedGEGLUOut(nn.Module):
+    """Param-compatible stand-in for the FF's ``out`` Dense: same param tree
+    (kernel/bias, same initializers), but the gate + GEMM run in one Pallas
+    kernel (ops.geglu) — no HBM round-trip of the gated tensor and no
+    erf-prologue MXU stall."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, h2):
+        inner = h2.shape[-1] // 2
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (inner, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        h2, kernel, bias = nn.dtypes.promote_dtype(
+            h2, kernel, bias, dtype=self.dtype)
+        return fused_geglu_out(h2, kernel, bias)
+
+
 class GEGLUFeedForward(nn.Module):
     """diffusers FeedForward with geglu: Dense(2*4C) -> x*gelu(gate) -> Dense(C)."""
 
@@ -193,14 +215,56 @@ class GEGLUFeedForward(nn.Module):
         c = x.shape[-1]
         inner = c * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        if self.dropout == 0.0 or not train:
+            # fused gate->GEMM kernel; "out" has the same param tree as the
+            # nn.Dense branch below, so checkpoints are interchangeable
+            return _FusedGEGLUOut(c, dtype=self.dtype, name="out")(h)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
-        # keep the gating OUT of the out-GEMM's operand fusion: fused as a
-        # per-tile prologue the GEMM measured 38 TF/s vs ~148 clean
-        # (device trace, BENCH_NOTES round 2)
-        h = jax.lax.optimization_barrier(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return nn.Dense(c, dtype=self.dtype, name="out")(h)
+
+
+class _LayerNormParams(nn.Module):
+    """Param holder matching nn.LayerNorm's tree ({scale, bias}) for layers
+    whose math runs inside a fused kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones_init(),
+                           (self.features,)),
+                self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,)))
+
+
+class _DenseParams(nn.Module):
+    """Param holder matching nn.Dense's tree ({kernel, bias})."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.in_features, self.features)),
+                self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,)))
+
+
+class _FFParams(nn.Module):
+    """Param holder matching GEGLUFeedForward's tree (proj + out Denses)."""
+
+    features: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self):
+        inner = self.features * self.mult
+        wp, bp = _DenseParams(self.features, inner * 2, name="proj")()
+        wo, bo = _DenseParams(inner, self.features, name="out")()
+        return wp, bp, wo, bo
 
 
 class BasicTransformerBlock(nn.Module):
@@ -229,15 +293,28 @@ class BasicTransformerBlock(nn.Module):
             x = x + out.reshape(b, f, l, c)
 
         if not KNOBS["disable_ff"]:
-            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-            x = x + GEGLUFeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(h, train=train)
+            if self.dropout == 0.0:
+                # whole-FF fusion: LN + proj + gate + out GEMM + residual in
+                # one kernel (ops.geglu.fused_ff_ln); param holders keep the
+                # exact norm3/ff tree of the module branch below
+                gamma, beta = _LayerNormParams(c, name="norm3")()
+                wp, bp, wo, bo = _FFParams(c, name="ff")()
+                xk, gamma, beta, wp, bp, wo, bo = nn.dtypes.promote_dtype(
+                    x, gamma, beta, wp, bp, wo, bo, dtype=self.dtype)
+                x = fused_ff_ln(xk, gamma, beta, wp, bp, wo, bo,
+                                eps=1e-5).astype(x.dtype)
+            else:
+                h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+                x = x + GEGLUFeedForward(dropout=self.dropout, dtype=self.dtype,
+                                         name="ff")(h, train=train)
 
         if not KNOBS["disable_temporal"]:
             # temporal attention over the frame axis (attention.py:260-267):
             # (B, F, L, C) -> (B*L, F, C).  (An in-place frame-axis einsum
             # variant avoids the transposes but hits a pathological >20min
-            # Mosaic compile on v5e; the transpose layout costs ~1.3ms/call
-            # in-graph and compiles fast, so it stays.)
+            # Mosaic compile on v5e; a whole-block LN+qkv+attn+out Pallas
+            # kernel measured 3.85 ms vs ~2.9 ms for this XLA subgraph —
+            # both rejected, device traces in BENCH_NOTES.)
             ht = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_temp")(x)
             x = x + TemporalAttentionUnrolled(
                 self.heads, self.head_dim, dtype=self.dtype, name="attn_temp"

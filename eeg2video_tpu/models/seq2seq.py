@@ -1,4 +1,4 @@
-"""Seq2Seq EEG -> video-latent transformer, Flax + lax.scan rollout.
+"""Seq2Seq EEG -> video-latent transformer, Flax + fixed-length unrolled rollout.
 
 Re-design of the reference ``myTransformer``
 (reference EEG2Video_New/Seq2Seq/my_autoregressive_transformer.py:123-192):

@@ -1,1 +1,2 @@
 from .attention import fused_attention, fused_attention_packed, mha_reference
+from .geglu import fused_ff_ln, fused_geglu_out

@@ -38,6 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 _FLASH_MIN_LQ = 256  # below this the XLA path wins
+_LOG2E = float(np.log2(np.e))  # packed kernels run softmax in base 2: the
+_LN2 = float(np.log(2.0))      # VPU computes 2^x natively; e^x costs an
+#                                extra multiply per score element
 
 
 def mha_reference(q, k, v, scale=None, bias=None):
@@ -408,7 +411,9 @@ def _packed_single_kernel(q_ref, k_ref, v_ref, *rest,
     else:
         (o_ref,) = rest
 
-    qa = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # scale ·= log2(e): scores land in base-2 units, softmax runs on the
+    # VPU's native 2^x (p/alpha below) — one fewer multiply per score element
+    qa = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     ka = k_ref[0]
     va = v_ref[0]
     need_mask = kv_len < ka.shape[0]
@@ -416,10 +421,9 @@ def _packed_single_kernel(q_ref, k_ref, v_ref, *rest,
         col = jax.lax.broadcasted_iota(
             jnp.int32, (qa.shape[0], ka.shape[0]), 1)
     if with_bias:
-        brow = bias_ref[0, 0, :].astype(jnp.float32)[None, :]
+        brow = bias_ref[0, 0, :].astype(jnp.float32)[None, :] * _LOG2E
 
-    outs, lses = [], []
-    for h in range(heads):
+    def qk(h):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         s = jax.lax.dot_general(qa[:, sl], ka[:, sl], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -427,16 +431,29 @@ def _packed_single_kernel(q_ref, k_ref, v_ref, *rest,
             s = s + brow  # bias KV-tail is pre-filled with the mask value
         elif need_mask:
             s = jnp.where(col < kv_len, s, DEFAULT_MASK_VALUE)
+        return s
+
+    outs, lses = [], []
+    # software-pipelined: head h+1's QK GEMM is issued before head h's
+    # softmax so the MXU stream and the VPU exp2/reductions can overlap
+    # (serialized, QK 0.88 + softmax ~0.7 + PV 0.28 ms summed per level-0
+    # sparse call — device trace, BENCH_NOTES round 2)
+    s = qk(0)
+    for h in range(heads):
+        s_next = qk(h + 1) if h + 1 < heads else None
+        sl = slice(h * head_dim, (h + 1) * head_dim)
         m = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         pv_t = jax.lax.dot_general(
             va[:, sl], p.astype(va.dtype), (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (D, bq)
         outs.append((pv_t / l[:, 0][None, :]).T.astype(o_ref.dtype))
         if with_lse:
-            lses.append(jnp.broadcast_to((m + jnp.log(l))[:, 0][None, :],
-                                         (8, qa.shape[0])))
+            # residual in natural-log units (the backward passes are e-based)
+            lses.append(jnp.broadcast_to(
+                (m * _LN2 + jnp.log(l))[:, 0][None, :], (8, qa.shape[0])))
+        s = s_next
     o_ref[0] = jnp.concatenate(outs, axis=-1)
     if with_lse:
         lse_ref[0] = jnp.stack(lses, axis=0)  # (H, 8, block_q)
@@ -462,8 +479,9 @@ def _packed_kernel(q_ref, k_ref, v_ref, *rest,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # scale folded into Q once for all heads (single VPU pass)
-    qa = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # scale (·log2e: base-2 softmax, see _packed_single_kernel) folded into Q
+    # once for all heads (single VPU pass)
+    qa = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     ka = k_ref[0]  # (block_k, H*D)
     va = v_ref[0]
     # KV-tail masking is dead work when Lkv pads exactly (level-0's 4608 does)
@@ -472,7 +490,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, *rest,
         col = jax.lax.broadcasted_iota(
             jnp.int32, (qa.shape[0], ka.shape[0]), 1) + ik * block_k
     if with_bias:
-        brow = bias_ref[0, 0, :].astype(jnp.float32)[None, :]  # (1, block_k)
+        brow = bias_ref[0, 0, :].astype(jnp.float32)[None, :] * _LOG2E
 
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -489,8 +507,8 @@ def _packed_kernel(q_ref, k_ref, v_ref, *rest,
         l_prev = l_ref[h]
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_ref[h] = m_next
         l_ref[h] = l_next
@@ -511,16 +529,17 @@ def _packed_kernel(q_ref, k_ref, v_ref, *rest,
             outs.append(out_t.T.astype(o_ref.dtype))
         o_ref[0] = jnp.concatenate(outs, axis=-1)
         if with_lse:
+            # natural-log units for the e-based backward passes
             lse_ref[0] = jnp.stack(
                 [jnp.broadcast_to(
-                    (m_ref[h] + jnp.log(l_ref[h]))[:, 0][None, :],
+                    (m_ref[h] * _LN2 + jnp.log(l_ref[h]))[:, 0][None, :],
                     (8, m_ref.shape[1]))
                  for h in range(heads)],
                 axis=0)  # (H, 8, block_q)
 
 
 def _blocks_packed(Lq, Lkv, HD, heads, with_lse):
-    """Tile sizes for the packed kernel under the 16MB scoped-VMEM limit.
+    """Tile sizes for the packed kernel under the scoped-VMEM limit.
 
     Accounts for Mosaic's double-buffering of in/out blocks (x2 on q/k/v/out
     and the lse block) plus the f32 scores temporary and per-head m/l/acc
@@ -532,13 +551,31 @@ def _blocks_packed(Lq, Lkv, HD, heads, with_lse):
     # (half-KV pipelining experiment: flash 17.9 -> 19.4 ms/step, reverted)
     bk = min(lkvp, max(128, (12 * 1024 * 1024 // (4 * HD * 2)) // 128 * 128))
     budget = 40 * 1024 * 1024 - 2 * 2 * bk * HD * 2
-    per_row = (4 * bk  # f32 scores
-               + heads * 4 * 128 * 3  # m, l, acc scratch
-               + (heads * 4 * 128 * 2 if with_lse else 0)  # lse out block x2
-               + 2 * HD * 2 * 2)  # q + out blocks, double-buffered
-    bq = max(128, min(768, _round_up(Lq, 128),
-                      (budget // per_row) // 128 * 128))
-    return bq, bk
+    lqp = _round_up(Lq, 128)
+    if bk == lkvp and not with_lse:
+        # single-block kernel: no m/l/acc scratch, no lse block — the q block
+        # can grow until the scores temporaries bound it.  Small-KV calls
+        # (cross-attention, Lkv=77) were 36 tiny grid cells at bq=768 and ran
+        # ~4x over their compute bound on per-cell overhead (device trace).
+        # two in-flight f32 score buffers (software-pipelined head loop)
+        # + partially-reused bf16 p
+        per_row = 10 * bk + 2 * HD * 2 * 2
+        # only small-KV calls (cross-attention) benefit from huge q blocks;
+        # at Lkv>=2304 the bigger scores working set measured slower
+        cap = min(2304 if bk <= 256 else 768, lqp)
+    else:
+        per_row = (4 * bk  # f32 scores
+                   + heads * 4 * 128 * 3  # m, l, acc scratch
+                   + (heads * 4 * 128 * 2 if with_lse else 0)  # lse block x2
+                   + 2 * HD * 2 * 2)  # q + out blocks, double-buffered
+        cap = min(768, lqp)
+    cap = min(cap, max(128, (budget // per_row) // 128 * 128))
+    # largest 128-multiple <= cap dividing the padded q length: a non-divisor
+    # block pads q in HBM and burns whole cells on garbage rows
+    for bq in range(cap, 127, -128):
+        if lqp % bq == 0:
+            return bq, bk
+    return 128, bk
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret",

@@ -89,10 +89,14 @@ def load_trace(logdir: str, device_only: bool = True) -> List[OpEvent]:
     return out
 
 
-def bucket_of(name: str) -> str:
+def bucket_of(name: str, long_name: str = "") -> str:
     if "_flash" in name:
         return "flash-kernel"
-    if "convert_reduce_fusion" in name or "convolution" in name:
+    if "_pallas" in name:
+        return "pallas-kernel"
+    if ("convert_reduce_fusion" in name or "convolution" in name
+            or re.search(r"\bbf16\[3,3,\d+,\d+\]", long_name)):
+        # fusions consuming a 3x3 conv weight ARE the convolution on TPU
         return "conv/reduce-fusions"
     for k in ("copy", "pad", "reshape", "slice", "broadcast", "transpose"):
         if name.startswith(k):
@@ -109,7 +113,7 @@ def summarize(events: List[OpEvent], n_iters: int = 1, top: int = 15) -> str:
     per_op = collections.defaultdict(float)
     sample: Dict[str, str] = {}
     for e in events:
-        buckets[bucket_of(e.name)] += e.dur_us
+        buckets[bucket_of(e.name, e.long_name)] += e.dur_us
         per_op[e.name] += e.dur_us
         if e.long_name and e.name not in sample:
             sample[e.name] = e.long_name.split(" = ")[-1].split(" ")[0][:70]
