@@ -124,17 +124,37 @@ def de_psd(x, fs: int = meta.FS, win_sec: float = 2.0, dtype=jnp.float32):
 def de_psd_numpy(data: np.ndarray, fre: int = meta.FS, time_window: float = 2.0):
     """Float64 NumPy oracle with the reference's exact call convention:
     ``(n_channels, T) -> (de, psd)`` each (n_channels, 5).  Used by golden
-    tests; implements the same math as :func:`de_psd` without JAX.
+    tests and the extraction CLIs; implements the same math as
+    :func:`de_psd` without JAX.
+
+    Runs chunked over a reused scratch buffer with ``rfft``: whole-subject
+    f64 temporaries hit pathological first-touch page-fault cost on small
+    VMs (a (1400,62,400) windowing multiply alone measured 12+ s), and
+    numpy's complex ``fft`` is ~100x slower than the real path at this
+    shape.  rfft of a real signal is the same DFT — bins match ``fft`` to
+    float64 rounding.  Only the first STFTN window taps are applied because
+    ``fft(x, n=STFTN)`` truncates the signal anyway (reference DE_PSD.py:58).
     """
     H = int(round(fre * time_window))
     assert data.shape[-1] == H
-    xw = data.astype(np.float64) * hann_window_ref(H)
-    if H >= STFTN:
-        xw = xw[..., :STFTN]
-    else:
-        xw = np.pad(xw, [(0, 0)] * (data.ndim - 1) + [(0, STFTN - H)])
-    X = np.fft.fft(xw, n=STFTN, axis=-1)[..., :N_BINS]
-    mag2 = np.abs(X) ** 2
-    psd = mag2 @ _band_matrix(fre, "float64")
+    w = hann_window_ref(H)
+    lead = data.shape[:-1]
+    flat = data.reshape(-1, H)
+    n = flat.shape[0]
+    band = _band_matrix(fre, "float64")
+    psd = np.empty((n, band.shape[1]), np.float64)
+    chunk = min(n, 4096)
+    buf = np.zeros((chunk, STFTN), np.float64)
+    for i in range(0, n, chunk):
+        m = min(chunk, n - i)
+        if H >= STFTN:
+            np.multiply(flat[i:i + m, :STFTN], w[:STFTN], out=buf[:m])
+        else:
+            np.multiply(flat[i:i + m], w, out=buf[:m, :H])
+        X = np.fft.rfft(buf[:m], n=STFTN, axis=-1)[..., :N_BINS]
+        mag2 = np.abs(X)
+        np.square(mag2, out=mag2)
+        np.matmul(mag2, band, out=psd[i:i + m])
+    psd = psd.reshape(lead + (band.shape[1],))
     de = np.log2(100.0 * psd)
     return de, psd

@@ -444,6 +444,9 @@ def _packed_single_kernel(q_ref, k_ref, v_ref, *rest,
         sl = slice(h * head_dim, (h + 1) * head_dim)
         m = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
         p = jnp.exp2(s - m)
+        # (row-sum as a rank-8 ones-GEMM with p emitted in bf16 measured a
+        # big LOSS: flash 13.4 -> 20.4 ms/step — the extra MXU op breaks the
+        # QK/softmax overlap of the pipelined loop; keep the VPU reduce)
         l = jnp.sum(p, axis=1, keepdims=True)
         pv_t = jax.lax.dot_general(
             va[:, sl], p.astype(va.dtype), (((0,), (1,)), ((), ())),
