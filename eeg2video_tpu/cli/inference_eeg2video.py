@@ -74,6 +74,11 @@ def main(argv=None):
     p.add_argument("--video_length", type=int, default=6)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seed", type=int, default=114514)
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel generation over a device mesh "
+                        "(0 = single device; batch must divide by dp)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel UNet sharding (with --dp)")
     args = p.parse_args(argv)
 
     emb = load_array(args.embeddings).reshape(-1, 77 * 768).astype(np.float32)
@@ -94,19 +99,34 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     pipe = load_pipeline(args.unet, args.vae)
+    if args.dp or args.tp > 1:
+        from ..parallel import make_mesh
+        from ..train import unet_tp_rules
+
+        dp = args.dp or max(1, len(jax.devices()) // args.tp)
+        pipe = pipe.shard(make_mesh(dp=dp, tp=args.tp),
+                          unet_tp_rules if args.tp > 1 else None)
+        if args.batch % dp:
+            p.error(f"--batch {args.batch} must be divisible by --dp {dp}")
     key = jax.random.key(args.seed)
     n = len(emb)
+    dp = pipe.mesh.shape["dp"] if pipe.mesh is not None else 1
     for s in range(0, n, args.batch):
         e = emb[s:s + args.batch]
         lat = None if latents is None else latents[s:s + args.batch]
+        m = len(e)
+        if m % dp:  # pad the tail chunk to a dp multiple, drop extras below
+            reps = [1] * (m - 1) + [dp - m % dp + 1]
+            e = np.repeat(e, reps, axis=0)
+            lat = None if lat is None else np.repeat(lat, reps, axis=0)
         videos = pipe(e, negative, latents=lat, key=jax.random.fold_in(key, s),
                       video_length=args.video_length, height=args.height,
                       width=args.width, num_inference_steps=args.num_inference_steps,
                       guidance_scale=args.guidance_scale)
-        videos = np.asarray(videos)
-        for j in range(len(e)):
+        videos = np.asarray(videos)[:m]
+        for j in range(m):
             save_videos_grid(videos[j:j + 1], os.path.join(out_dir, f"{s + j}.gif"))
-        log.info("clips %d..%d -> %s", s, s + len(e) - 1, out_dir)
+        log.info("clips %d..%d -> %s", s, s + m - 1, out_dir)
 
 
 if __name__ == "__main__":

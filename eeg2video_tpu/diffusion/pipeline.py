@@ -80,6 +80,7 @@ class EEG2VideoPipeline:
     vae: AutoencoderKL
     vae_params: dict
     dtype: jnp.dtype = jnp.bfloat16
+    mesh: Optional[object] = None  # jax.sharding.Mesh set by .shard()
 
     @classmethod
     def create(cls, unet_params, vae_params,
@@ -94,6 +95,21 @@ class EEG2VideoPipeline:
             vae_params=cast(vae_params),
             dtype=dtype,
         )
+
+    def shard(self, mesh, tp_rules=None):
+        """Multi-chip generation: place params on ``mesh`` (tp_rules maps a
+        param path to a PartitionSpec — e.g. ``train.unet_tp_rules`` for
+        Megatron-style attention/FFN sharding — ``None`` replicates) and
+        dp-shard the batch axis of every subsequent ``__call__``.  GSPMD then
+        partitions the whole jitted sample scan; the serving analog of the
+        trainer's (dp, tp) mesh (reference ran generation strictly
+        single-GPU, inference_eeg2video.py:50-53).  Returns self."""
+        from ..parallel import shard_params
+
+        self.unet_params = shard_params(self.unet_params, mesh, tp_rules)
+        self.vae_params = shard_params(self.vae_params, mesh, None)
+        self.mesh = mesh
+        return self
 
     def __call__(self, embeddings, negative, *, latents=None, key=None,
                  video_length=6, height=288, width=512,
@@ -114,6 +130,18 @@ class EEG2VideoPipeline:
             embeddings = embeddings.reshape(embeddings.shape[0], -1)
         if latents is not None:
             latents = jnp.asarray(latents)
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+
+            dp = self.mesh.shape.get("dp", 1)
+            if embeddings.shape[0] % dp:
+                raise ValueError(
+                    f"batch {embeddings.shape[0]} not divisible by dp={dp}")
+            embeddings = jax.device_put(
+                embeddings, batch_sharding(self.mesh, embeddings.ndim))
+            if latents is not None:
+                latents = jax.device_put(
+                    latents, batch_sharding(self.mesh, latents.ndim))
         return _sample(
             self.unet, self.vae, self.dtype, self.unet_params, self.vae_params,
             embeddings, jnp.asarray(negative), latents, key, video_length,

@@ -79,3 +79,37 @@ def test_run_metrics_gt_order_mapping():
     gt_order = (idx[:, None] * meta.N_REPS + np.arange(meta.N_REPS)).reshape(-1)
     assert gt_order[0] == idx[0] * 5
     assert len(set(gt_order.tolist())) == 200
+
+
+def test_inference_cli_dp_tp_sharded(tmp_path, rng, monkeypatch):
+    """--dp/--tp generation over the CPU mesh, incl. the padded tail chunk
+    (n=3 with batch 4 on dp=4)."""
+    from eeg2video_tpu.cli import inference_eeg2video
+    from eeg2video_tpu.diffusion.pipeline import EEG2VideoPipeline
+    from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+    from eeg2video_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    ucfg = UNet3DConfig.tiny()
+    ucfg = type(ucfg)(**{**ucfg.__dict__, "cross_attention_dim": 768})
+    vcfg = VAEConfig.tiny()
+    unet = UNet3DConditionModel(ucfg)
+    vae = AutoencoderKL(vcfg)
+    up = unet.init(jax.random.key(0), np.zeros((1, 2, 4, 4, 4), np.float32),
+                   jnp.asarray([0]), np.zeros((1, 77, 768), np.float32))["params"]
+    vp = vae.init(jax.random.key(1), np.zeros((1, 32, 32, 3), np.float32))["params"]
+    pipe = EEG2VideoPipeline.create(up, vp, ucfg, vcfg, dtype=jnp.float32)
+    monkeypatch.setattr(inference_eeg2video, "load_pipeline", lambda *a, **k: pipe)
+
+    n = 3
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((n, 77 * 768)).astype(np.float32))
+    out_dir = tmp_path / "clips"
+    inference_eeg2video.main([
+        "--embeddings", str(emb_path), "--woSeq2Seq",
+        "--out_dir", str(out_dir), "--num_inference_steps", "2",
+        "--height", "32", "--width", "32", "--video_length", "2",
+        "--batch", "4", "--dp", "4", "--tp", "2"])
+    assert pipe.mesh is not None and pipe.mesh.shape == {"dp": 4, "tp": 2}
+    for i in range(n):
+        clip = load_gif(out_dir / f"{i}.gif")
+        assert clip.shape[0] == 2
