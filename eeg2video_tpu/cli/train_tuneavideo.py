@@ -28,6 +28,7 @@ from ..models.vae import VAEConfig
 from ..train import checkpoint as ckpt
 from ..train.videodiffusion import (
     VideoDiffusionTrainConfig,
+    encode_posteriors,
     init_video_train_state,
     make_video_train_epoch,
     unet_tp_rules,
@@ -137,20 +138,24 @@ def main(argv=None):
     metrics = MetricsLogger(args.output_dir, "tuneavideo")
     key = jax.random.key(args.seed)
 
-    # decode every clip once (C++ thread-pool decoder); the whole set lives
-    # on device (bf16: ~1 GB at the reference's 200 x 6 x 288 x 512 clips)
-    # and epochs run as one scan
+    # decode every clip once (C++ thread-pool decoder), VAE-encode the set
+    # ONCE into posteriors (mean || logvar; ~59 MB vs ~1 GB of pixels at the
+    # reference's 200 x 6 x 288 x 512 clips — the encoder is deterministic,
+    # per-step posterior sampling stays in the train step), keep it resident
+    # on device, and run each epoch as one scan
     pixels_all, prompt_idx = ds.load_all()
     context_all = text_emb[prompt_idx]
-    pix_dtype = jnp.dtype(tcfg.compute_dtype)
+    post_all = encode_posteriors(vae_params, pixels_all, vcfg,
+                                 tcfg.compute_dtype)
+    del pixels_all
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
-        pixels_all = jax.device_put(jnp.asarray(pixels_all, pix_dtype), repl)
+        post_all = jax.device_put(jnp.asarray(post_all), repl)
         context_all = jax.device_put(jnp.asarray(context_all), repl)
     else:
-        pixels_all = jnp.asarray(pixels_all, pix_dtype)
+        post_all = jnp.asarray(post_all)
         context_all = jnp.asarray(context_all)
 
     steps_per_epoch = max(len(ds) // args.train_batch_size, 1)
@@ -158,7 +163,7 @@ def main(argv=None):
     for epoch in range(1, args.epochs + 1):
         order = rng.permutation(len(ds))[: steps_per_epoch * args.train_batch_size]
         perm = order.reshape(steps_per_epoch, args.train_batch_size).astype(np.int32)
-        state, ep_loss = epoch_fn(state, vae_params, pixels_all, context_all,
+        state, ep_loss = epoch_fn(state, vae_params, post_all, context_all,
                                   jnp.asarray(perm), key)
         ep_loss = float(ep_loss)  # one host sync per epoch
         log.info("epoch %d train_loss %.5f", epoch, ep_loss)

@@ -22,8 +22,13 @@ Design (shapes in this domain: Lq <= 2304, Lkv <= 4608, D in {40, 80, 160}):
   the (Lq, Lkv) probability matrix never hits HBM in either direction.  At
   the reference's training batch (10 clips x 6 frames,
   train_finetune_videodiffusion.py:77) an XLA-recompute backward would need
-  ~10 GB of transient probabilities at level-0 shapes and OOM one v5e;
-  the Pallas backward runs it in 153 ms.
+  ~10 GB of transient probabilities at level-0 shapes and OOM one v5e.
+  The packed path keeps the backward channels-minor too (_flash_bwd_packed):
+  whole-KV cells, base-2 probability recompute against the prescaled lse,
+  transposed dk/dv GEMMs — no D 40->128 HBM pads, no L<->H transposes
+  (which made the round-1 (B,H,L,D) backward 46 ms/call at level-0 training
+  shapes; the packed dkv+dq run the same call in 19.6+15.5 ms, near the
+  serial-MXU bound, and the whole step's flash backward in ~215 ms).
 """
 
 from __future__ import annotations
@@ -581,6 +586,155 @@ def _blocks_packed(Lq, Lkv, HD, heads, with_lse):
     return 128, bk
 
 
+def _packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse2_ref, delta_ref,
+                      dq_ref, *, scale, heads, head_dim):
+    """Packed-layout dq: grid (N, n_q), whole KV per cell, heads unrolled.
+
+    lse2_ref is the forward residual prescaled by log2(e) (base-2 units,
+    matching the base-2 score recompute); delta_ref is sum(g*out) per head.
+    Zero-padded KV rows contribute nothing (ka rows are 0), so no masking.
+    """
+    qa = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    ka = k_ref[0]
+    va = v_ref[0]
+    do = do_ref[0]
+    outs = []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s2 = jax.lax.dot_general(qa[:, sl], ka[:, sl], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        p = jnp.exp2(s2 - lse2_ref[0][:, h:h + 1])
+        dp = jax.lax.dot_general(do[:, sl], va[:, sl], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta_ref[0][:, h:h + 1]) * scale).astype(ka.dtype)
+        outs.append(jax.lax.dot(ds, ka[:, sl],
+                                preferred_element_type=jnp.float32
+                                ).astype(dq_ref.dtype))
+    dq_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _packed_dkv_kernel(q_ref, do_ref, lse2_ref, delta_ref, k_ref, v_ref,
+                       dk_ref, dv_ref, *, scale, heads, head_dim):
+    """Packed-layout dk/dv: grid (N, n_kv), whole Q per cell, transposed
+    scores (KV rows on the GEMM M axis).  lse2/delta come as (1, H, Lqp)
+    rows.  dk = ds^T q scale: qa below carries scale*log2e, so folding ln2
+    into ds^T makes dsT @ qa == ds^T q * scale exactly."""
+    qa = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    do = do_ref[0]
+    ka = k_ref[0]
+    va = v_ref[0]
+    dks, dvs = [], []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s2t = jax.lax.dot_general(ka[:, sl], qa[:, sl], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        pt = jnp.exp2(s2t - lse2_ref[0, h:h + 1, :])  # (bk, Lqp)
+        dvs.append(jax.lax.dot(pt.astype(do.dtype), do[:, sl],
+                               preferred_element_type=jnp.float32
+                               ).astype(dv_ref.dtype))
+        dpt = jax.lax.dot_general(va[:, sl], do[:, sl], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dst = (pt * (dpt - delta_ref[0, h:h + 1, :]) * _LN2).astype(qa.dtype)
+        dks.append(jax.lax.dot(dst, qa[:, sl],
+                               preferred_element_type=jnp.float32
+                               ).astype(dk_ref.dtype))
+    dk_ref[0] = jnp.concatenate(dks, axis=-1)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1)
+
+
+def _bwd_blocks_packed(Lq, Lkv, HD, heads):
+    """(bq for the dq pass, bk for the dkv pass) under the scoped-VMEM
+    budget: two f32 score temporaries per in-flight head + the whole
+    counterpart sequence resident."""
+    lqp = _round_up(Lq, 128)
+    lkvp = _round_up(Lkv, 128)
+    budget = 40 * 1024 * 1024
+
+    def pick(l_self, l_other, cap):
+        fixed = 2 * 2 * l_other * HD * 2  # counterpart seq double-buffered
+        per_row = 8 * l_other + 4 * HD * 2  # p/dp f32 + own blocks
+        c = min(cap, max(128, ((budget - fixed) // per_row) // 128 * 128))
+        for b in range(c, 127, -128):
+            if l_self % b == 0:
+                return b
+        return 128
+
+    return pick(lqp, lkvp, min(768, lqp)), pick(lkvp, lqp, min(1152, lkvp))
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def _flash_bwd_packed(q, k, v, do, out, lse, scale, heads, interpret=False):
+    """Packed-layout flash backward: q/k/v/do/out (N, L, H*D) channels-minor,
+    lse (N, H, Lqp) natural-log units from the forward.  No D 40->128 HBM
+    pads and no L<->H transposes (the round-1 (B,H,L,D) backward spent more
+    time in layout copies + padded GEMMs than in math: 46 ms/call at the
+    level-0 training shape vs ~10 here)."""
+    N, Lq, HD = q.shape
+    Lkv = k.shape[1]
+    D = HD // heads
+    bq, bk = _bwd_blocks_packed(Lq, Lkv, HD, heads)
+    qp = _pad_to(q, 1, bq)
+    dop = _pad_to(do, 1, bq)
+    kp = _pad_to(k, 1, bk)
+    vp = _pad_to(v, 1, bk)
+    Lqp, Lkvp = qp.shape[1], kp.shape[1]
+
+    # delta = sum(g * out) per head, f32 (N, Lq, H) -> padded
+    delta = jnp.sum(
+        (do.astype(jnp.float32) * out.astype(jnp.float32)
+         ).reshape(N, Lq, heads, D), axis=-1)
+    delta = _pad_to(delta, 1, bq)
+    lse = lse[:, :, :Lqp]
+    lse2_col = (lse * _LOG2E).transpose(0, 2, 1)  # (N, Lqp, H) base-2
+    delta_col = delta  # (N, Lqp, H)
+    lse2_row = lse * _LOG2E  # (N, H, Lqp)
+    delta_row = delta.transpose(0, 2, 1)
+
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=64 * 1024 * 1024,
+    )
+    dq = pl.pallas_call(
+        functools.partial(_packed_dq_kernel, scale=scale, heads=heads,
+                          head_dim=D),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        grid=(N, Lqp // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Lkvp, HD), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Lkvp, HD), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, heads), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, heads), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0)),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse2_col, delta_col)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_packed_dkv_kernel, scale=scale, heads=heads,
+                          head_dim=D),
+        out_shape=(jax.ShapeDtypeStruct(kp.shape, k.dtype),
+                   jax.ShapeDtypeStruct(vp.shape, v.dtype)),
+        grid=(N, Lkvp // bk),
+        in_specs=[
+            pl.BlockSpec((1, Lqp, HD), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, Lqp, HD), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, heads, Lqp), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, heads, Lqp), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0)),
+                   pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0))),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(qp, dop, lse2_row, delta_row, kp, vp)
+
+    return dq[:, :Lq], dk[:, :Lkv], dv[:, :Lkv]
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret",
                                              "return_lse"))
 def _flash_fwd_packed(q, k, v, heads, scale, interpret=False,
@@ -775,30 +929,12 @@ def _flash_attention_packed_fwd(q, k, v, heads, scale):
 
 
 def _flash_attention_packed_bwd(heads, scale, res, g):
-    """Backward reuses the (B, H, L, D)-layout Pallas passes; the layout
-    transposes only run under grad (training), never in the sampling path."""
+    """Packed-layout Pallas backward — same channels-minor layout as the
+    forward, no D pads or L<->H transposes in the grad graph."""
     q, k, v, out, lse = res
     interpret = jax.default_backend() != "tpu"
-    N, Lq, HD = q.shape
-    Lkv = k.shape[1]
-    D = HD // heads
-
-    def to_bhld(t, L):
-        return t.reshape(N, L, heads, D).transpose(0, 2, 1, 3)
-
-    qh, kh, vh = to_bhld(q, Lq), to_bhld(k, Lkv), to_bhld(v, Lkv)
-    gh, oh = to_bhld(g, Lq), to_bhld(out, Lq)
-    delta = jnp.sum(gh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1)
-    lse2 = jnp.broadcast_to(  # re-replicate the stored single lane
-        lse.reshape(N * heads, lse.shape[2], 1),
-        (N * heads, lse.shape[2], 128))
-    dq, dk, dv = _flash_bwd(qh, kh, vh, gh, lse2, delta, scale,
-                            interpret=interpret)
-
-    def to_packed(t, L):
-        return t.transpose(0, 2, 1, 3).reshape(N, L, HD)
-
-    return to_packed(dq, Lq), to_packed(dk, Lkv), to_packed(dv, Lkv)
+    return _flash_bwd_packed(q, k, v, g, out, lse, scale, heads,
+                             interpret=interpret)
 
 
 _flash_attention_packed.defvjp(_flash_attention_packed_fwd,

@@ -1,5 +1,6 @@
 from .videodiffusion import (
     VideoDiffusionTrainConfig,
+    encode_posteriors,
     make_video_train_step,
     make_video_train_epoch,
     init_video_train_state,

@@ -21,6 +21,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=10)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--pixels", action="store_true",
+                   help="feed raw pixels (in-step VAE encode) instead of the "
+                        "product path's precomputed posteriors")
+    p.add_argument("--trace", default=None,
+                   help="capture a device trace of the timed steps to this "
+                        "logdir and print the per-op bucket summary")
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -54,8 +60,14 @@ def main():
     state = init_video_train_state(params, tcfg)
     step = make_video_train_step(ucfg, vcfg, tcfg)
 
-    pixels = jax.device_put(
-        np.random.default_rng(0).standard_normal((b, f, h, w, 3)).astype(np.float32))
+    if args.pixels:
+        pixels = jax.device_put(
+            np.random.default_rng(0).standard_normal((b, f, h, w, 3)).astype(np.float32))
+    else:
+        # the product path: posteriors precomputed once per dataset
+        pixels = jax.device_put(
+            np.random.default_rng(0).standard_normal(
+                (b, f, h // 8, w // 8, 8)).astype(np.float32))
     ctx = jax.device_put(
         np.random.default_rng(1).standard_normal((b, 77, 768)).astype(np.float32))
     key = jax.random.key(2)
@@ -65,11 +77,21 @@ def main():
     _ = float(loss)
     print(f"compile+first step: {time.time() - t0:.1f}s loss={float(loss):.4f}")
 
+    import contextlib
+
+    from eeg2video_tpu.utils import profiling
+
+    tracer = (profiling.trace(args.trace) if args.trace
+              else contextlib.nullcontext())
     t0 = time.time()
-    for _ in range(args.iters):
-        state, loss = step(state, vae_params, pixels, ctx, key)
-    _ = float(loss)  # host sync
+    with tracer:
+        for _ in range(args.iters):
+            state, loss = step(state, vae_params, pixels, ctx, key)
+        _ = float(loss)  # host sync
     ms = (time.time() - t0) / args.iters * 1e3
+    if args.trace:
+        print(profiling.summarize(profiling.load_trace(args.trace),
+                                  n_iters=args.iters))
     clips_s = b / (ms / 1e3)
     print(f"batch {b}: {ms:.0f} ms/step  ({clips_s:.1f} clips/s; "
           f"200-clip epoch ~{200 / clips_s:.1f}s; "

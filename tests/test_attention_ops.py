@@ -70,3 +70,34 @@ def test_flash_gradients_masked_shapes(rng):
                   argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def _packed_ref(q, k, v, heads, scale):
+    n, lq, hd = q.shape
+    lkv, d = k.shape[1], hd // heads
+    split = lambda t, l: t.reshape(n, l, heads, d).transpose(0, 2, 1, 3)
+    out = mha_reference(split(q, lq), split(k, lkv), split(v, lkv), scale)
+    return out.transpose(0, 2, 1, 3).reshape(n, lq, hd)
+
+
+@pytest.mark.parametrize("N,H,Lq,Lkv,D", [
+    (2, 4, 256, 512, 40),   # exact-pad (the generation/training shapes)
+    (1, 2, 300, 450, 40),   # non-multiple rows (padded-tail safety)
+])
+def test_packed_flash_gradients_match_reference(rng, N, H, Lq, Lkv, D):
+    """The packed-layout Pallas backward (channels-minor dq/dkv passes) vs
+    XLA reference grads."""
+    from eeg2video_tpu.ops.attention import fused_attention_packed
+
+    q = jnp.asarray(rng.standard_normal((N, Lq, H * D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((N, Lkv, H * D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((N, Lkv, H * D)).astype(np.float32))
+    scale = 1.0 / np.sqrt(D)
+
+    gf = jax.grad(lambda *a: jnp.sum(fused_attention_packed(*a, H, scale) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum(_packed_ref(*a, H, scale) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

@@ -67,3 +67,43 @@ def test_trainable_rule_matches_reference():
     assert not trainable(p("down0", "attn0", "block0", "attn1", "to_k", "kernel"))
     assert not trainable(p("down0", "resnet0", "conv1", "conv", "kernel"))
     assert not trainable(p("conv_in", "conv", "kernel"))
+
+
+def test_posterior_path_matches_pixel_path(rng):
+    """Training from precomputed VAE posteriors (mean||logvar) must produce
+    the exact same loss as encoding pixels in-step with the same key."""
+    from eeg2video_tpu.train.videodiffusion import encode_posteriors
+
+    ucfg = UNet3DConfig.tiny()
+    ucfg = type(ucfg)(**{**ucfg.__dict__, "cross_attention_dim": 768})
+    vcfg = VAEConfig.tiny()
+    tcfg = VideoDiffusionTrainConfig(compute_dtype="float32", remat=False)
+
+    unet = UNet3DConditionModel(ucfg)
+    vae = AutoencoderKL(vcfg)
+    b, f, hw = 2, 2, 32
+    params = unet.init(jax.random.key(0), jnp.zeros((b, f, hw // 8, hw // 8, 4)),
+                       jnp.zeros((b,), jnp.int32), jnp.zeros((b, 77, 768)))["params"]
+    vae_params = vae.init(jax.random.key(1), jnp.zeros((1, hw, hw, 3)))["params"]
+
+    pixels = np.asarray(rng.standard_normal((b, f, hw, hw, 3)), np.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, 77, 768)), jnp.float32)
+    step = make_video_train_step(ucfg, vcfg, tcfg)
+
+    # the step donates its state, so each state needs its own param buffers
+    s1 = init_video_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    s1, loss_pix = step(s1, vae_params, jnp.asarray(pixels), ctx, jax.random.key(2))
+
+    post = encode_posteriors(vae_params, pixels, vcfg, "float32", batch=3)
+    assert post.shape == (b, f, hw // 8, hw // 8, 8)
+    s2 = init_video_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    s2, loss_post = step(s2, vae_params, jnp.asarray(post), ctx, jax.random.key(2))
+
+    np.testing.assert_allclose(float(loss_pix), float(loss_post),
+                               rtol=1e-6, atol=1e-6)
+    # params: atol 2*lr — a zero-gradient element's Adam step is +-lr on
+    # LSB noise, and the two graphs fuse the (identical) posterior math
+    # differently
+    for a, b_ in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=2 * tcfg.learning_rate)
