@@ -103,9 +103,7 @@ def main(argv=None):
         params = unet3d_params_from_torch_2d(
             ckpt.load_torch_state_dict(args.unet_torch), init_params)["params"]
     elif args.unet_ckpt:
-        params, step0 = ckpt.restore_checkpoint(args.unet_ckpt)
-        params = params["params"] if "params" in params else params
-        log.info("resumed from step %s", step0)
+        params = init_params  # template; the full state restores below
     else:
         params = init_params
         log.warning("training from random init (no --unet_torch/--unet_ckpt)")
@@ -131,6 +129,13 @@ def main(argv=None):
         log.info("mesh: dp=%d tp=%d", dp, tp)
 
     state = init_video_train_state(params, tcfg)
+    if args.unet_ckpt:
+        # full resume: params + optimizer state + step (the reference's
+        # resume_from_checkpoint is accepted and ignored, train L91);
+        # params-only checkpoints restore with fresh optimizer state
+        state, step0 = ckpt.restore_train_state(args.unet_ckpt, state)
+        log.info("resumed from checkpoint step %s (state.step=%d)",
+                 step0, int(state.step))
     epoch_fn = make_video_train_epoch(ucfg, vcfg, tcfg, mesh=mesh)
 
     from ..utils.metrics_logger import MetricsLogger
@@ -182,8 +187,10 @@ def main(argv=None):
             save_videos_grid(np.asarray(vids), sample_path)
             log.info("validation samples -> %s", sample_path)
         if epoch % args.checkpointing_epochs == 0 or epoch == args.epochs:
-            ckpt.save_checkpoint(os.path.join(args.output_dir, "ckpt"),
-                                 epoch, {"params": state.params})
+            ckpt.save_checkpoint(
+                os.path.join(args.output_dir, "ckpt"), epoch,
+                {"params": state.params, "opt_state": state.opt_state,
+                 "step": state.step})
             log.info("checkpoint @ epoch %d -> %s", epoch, args.output_dir)
 
 

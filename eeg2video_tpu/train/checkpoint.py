@@ -55,6 +55,26 @@ def restore_checkpoint(directory: str, step: Optional[int] = None,
     return out, step
 
 
+def restore_train_state(directory: str, state, step: Optional[int] = None):
+    """Resume a full TrainState from a {params, opt_state, step} checkpoint
+    (what cli.train_tuneavideo saves); params-only checkpoints (older
+    format, or exported weights) restore with the optimizer state freshly
+    initialized.  ``state`` provides the template — including shardings, so
+    a mesh-placed state restores sharded."""
+    template = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
+    try:
+        out, at = restore_checkpoint(directory, step=step, template=template)
+        return state.replace(params=out["params"], opt_state=out["opt_state"],
+                             step=out["step"]), at
+    except Exception:
+        out, at = restore_checkpoint(directory, step=step)
+        params = out["params"] if isinstance(out, dict) and "params" in out else out
+        params = jax.tree.unflatten(jax.tree.structure(state.params),
+                                    jax.tree.leaves(params))
+        return state.replace(params=params), at
+
+
 def load_torch_state_dict(path: str):
     """Load a reference ``.pt`` checkpoint into a {name: np.ndarray} dict.
     Handles both raw state dicts and the {'state_dict': ...} wrapper the

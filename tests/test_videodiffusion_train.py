@@ -107,3 +107,52 @@ def test_posterior_path_matches_pixel_path(rng):
     for a, b_ in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=2 * tcfg.learning_rate)
+
+
+def test_full_state_checkpoint_resume_is_exact(rng, tmp_path):
+    """4 straight steps == 2 steps + save/restore(full state) + 2 steps.
+    Proves Adam moments and the step counter (which seeds per-step
+    randomness) survive the round-trip."""
+    from eeg2video_tpu.train import checkpoint as ckpt
+
+    ucfg = UNet3DConfig.tiny()
+    ucfg = type(ucfg)(**{**ucfg.__dict__, "cross_attention_dim": 768})
+    vcfg = VAEConfig.tiny()
+    tcfg = VideoDiffusionTrainConfig(compute_dtype="float32", remat=False)
+    unet = UNet3DConditionModel(ucfg)
+    vae = AutoencoderKL(vcfg)
+    b, f, hw = 2, 2, 32
+    params = unet.init(jax.random.key(0), jnp.zeros((b, f, hw // 8, hw // 8, 4)),
+                       jnp.zeros((b,), jnp.int32), jnp.zeros((b, 77, 768)))["params"]
+    vae_params = vae.init(jax.random.key(1), jnp.zeros((1, hw, hw, 3)))["params"]
+    post = jnp.asarray(rng.standard_normal((b, f, hw // 8, hw // 8, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, 77, 768)), jnp.float32)
+    step = make_video_train_step(ucfg, vcfg, tcfg)
+    key = jax.random.key(7)  # per-step randomness = fold_in(key, state.step)
+
+    sa = init_video_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    for _ in range(4):
+        sa, _ = step(sa, vae_params, post, ctx, key)
+
+    sb = init_video_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    for _ in range(2):
+        sb, _ = step(sb, vae_params, post, ctx, key)
+    ckpt.save_checkpoint(str(tmp_path / "ck"), 2,
+                         {"params": sb.params, "opt_state": sb.opt_state,
+                          "step": sb.step})
+
+    sc = init_video_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    sc, at = ckpt.restore_train_state(str(tmp_path / "ck"), sc)
+    assert at == 2 and int(sc.step) == 2
+    for _ in range(2):
+        sc, _ = step(sc, vae_params, post, ctx, key)
+
+    for a, c in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sc.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    # params-only checkpoints (exported weights) still restore
+    ckpt.save_checkpoint(str(tmp_path / "ck2"), 1, {"params": sb.params})
+    sd = init_video_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    sd, _ = ckpt.restore_train_state(str(tmp_path / "ck2"), sd)
+    for a, d in zip(jax.tree.leaves(sb.params), jax.tree.leaves(sd.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(d))
