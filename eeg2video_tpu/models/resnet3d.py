@@ -167,7 +167,12 @@ class ResnetBlock3D(nn.Module):
         b, f, hh, ww, _ = x.shape
         # each GN->SiLU->conv chain dispatches independently (e.g. an
         # up-block's first resnet can have an ineligible 960-channel conv1
-        # from the skip concat while its conv2 is the eligible 320->320)
+        # from the skip concat while its conv2 is the eligible 320->320).
+        # Inference-only: routing the training forward through the kernel
+        # measured a net LOSS (1183 -> 1206 ms/step at the reference batch —
+        # XLA reorganizes the remat/backward fusions around the custom
+        # call; device trace, BENCH_NOTES round 2), so training keeps the
+        # all-XLA path.
         use1 = not train and _conv_eligible(hh, ww, in_features,
                                             self.features, self.dtype)
         use2 = not train and _conv_eligible(hh, ww, self.features,

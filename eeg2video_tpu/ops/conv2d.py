@@ -135,11 +135,13 @@ def _conv3x3_t_ref(x, w, b, scale, shift, temb):
     if scale is not None:
         xf = xf * scale[:, None, None, :] + shift[:, None, None, :]
         xf = xf * jax.nn.sigmoid(xf)
+    # dtype-uniform conv (XLA's TPU conv accumulates f32 internally either
+    # way; a preferred_element_type=f32 here breaks the conv transpose rule
+    # with mixed bf16/f32 operands in the custom_vjp backward)
     out = jax.lax.conv_general_dilated(
         xf.astype(x.dtype), w.astype(x.dtype), (1, 1),
-        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    out = out + b.astype(jnp.float32)[None, None, None, :]
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = out.astype(jnp.float32) + b.astype(jnp.float32)[None, None, None, :]
     if temb is not None:
         out = out + temb.astype(jnp.float32)[:, None, None, :]
     return out.astype(x.dtype)

@@ -97,3 +97,35 @@ def test_eligibility_rules():
     assert not C.eligible(36, 64, 960, 320, bf16)   # slab too big (measured slower)
     assert not C.eligible(18, 32, 640, 640, bf16)   # HW%128 != 0 and Cout exact
     assert not C.eligible(36, 64, 320, 320, jnp.float32)  # parity path stays XLA
+
+
+def test_resnet_block_fused_training_grads():
+    """bf16 train=True grads match the f32 module oracle.  (Training
+    currently keeps the all-XLA path — routing it through the kernel
+    measured slower, see resnet3d — but this guards whichever branch the
+    gating selects, including the custom_vjp if it is ever re-enabled.)"""
+    rng = np.random.default_rng(4)
+    B, F, H, W, ch = 1, 2, 8, 16, 320
+    x = jnp.asarray(rng.standard_normal((B, F, H, W, ch)), jnp.float32)
+    temb = jnp.asarray(rng.standard_normal((B, 512)), jnp.float32)
+    m32 = ResnetBlock3D(320, dtype=jnp.float32)
+    v = m32.init(jax.random.key(0), x, temb)
+    m16 = ResnetBlock3D(320, dtype=jnp.bfloat16)
+
+    def loss32(p):
+        return (m32.apply({"params": p}, x, temb, train=True) ** 2).sum()
+
+    def loss16(p):
+        out = m16.apply({"params": p}, x.astype(jnp.bfloat16),
+                        temb.astype(jnp.bfloat16), train=True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    g32 = jax.grad(loss32)(v["params"])
+    g16 = jax.grad(loss16)(v["params"])
+    for path, a in jax.tree_util.tree_leaves_with_path(g32):
+        b_ = g16
+        for k in path:
+            b_ = b_[k.key]
+        rel = (float(jnp.max(jnp.abs(a - b_.astype(jnp.float32))))
+               / (float(jnp.max(jnp.abs(a))) + 1e-9))
+        assert rel < 0.08, ("/".join(k.key for k in path), rel)
