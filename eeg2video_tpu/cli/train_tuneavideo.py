@@ -38,6 +38,44 @@ from ..utils import get_logger
 log = get_logger(__name__)
 
 
+def apply_reference_config(args, cfg_yaml):
+    """Map a reference-schema YAML (configs/all_40_video.yaml; the
+    reference's own file also loads) onto the CLI args; returns the remat
+    flag.  max_train_steps is consumed as epochs by the reference train loop
+    (train_finetune_videodiffusion.py:229) and the checkpoint/validation
+    "steps" gate on epochs (L343)."""
+    # pyyaml (YAML 1.1) reads the reference's "3e-5" as a string (no dot);
+    # OmegaConf coerced it — coerce numerics here for file compatibility
+    coerce = {"learning_rate": float, "train_batch_size": int, "seed": int,
+              "output_dir": str}
+    for k, fn in coerce.items():
+        if k in cfg_yaml:
+            setattr(args, k, fn(cfg_yaml[k]))
+    if "max_train_steps" in cfg_yaml:
+        args.epochs = int(cfg_yaml["max_train_steps"])
+    if "checkpointing_steps" in cfg_yaml:
+        args.checkpointing_epochs = int(cfg_yaml["checkpointing_steps"])
+    if "validation_steps" in cfg_yaml:
+        args.validation_epochs = int(cfg_yaml["validation_steps"])
+    vd = cfg_yaml.get("validation_data") or {}
+    if "num_inference_steps" in vd:
+        args.validation_steps = int(vd["num_inference_steps"])
+    td = cfg_yaml.get("train_data") or {}
+    if "video_dir" in td:
+        args.video_dir = td["video_dir"]
+    tm = cfg_yaml.get("trainable_modules")
+    if tm is not None and sorted(tm) != sorted(
+            ["attn1.to_q", "attn2.to_q", "attn_temp"]):
+        raise SystemExit(
+            "trainable_modules must be the reference mask "
+            "attn1.to_q/attn2.to_q/attn_temp (train L72-76)")
+    for k in ("use_8bit_adam", "enable_xformers_memory_efficient_attention"):
+        if cfg_yaml.get(k):
+            log.info("config key %s has no TPU analog; ignored "
+                     "(PARITY.md 2.5)", k)
+    return bool(cfg_yaml.get("gradient_checkpointing", True))
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -70,17 +108,17 @@ def main(argv=None):
                         "attention/FFN projections)")
     args = p.parse_args(argv)
 
+    remat = True
     if args.config:
         with open(args.config) as f:
             cfg_yaml = yaml.safe_load(f)
-        for k in ("learning_rate", "train_batch_size", "seed", "output_dir"):
-            if k in cfg_yaml:
-                setattr(args, k, cfg_yaml[k])
+        remat = apply_reference_config(args, cfg_yaml)
 
     ucfg, vcfg = UNet3DConfig(), VAEConfig()
     tcfg = VideoDiffusionTrainConfig(
         learning_rate=args.learning_rate,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
+        remat=remat,
     )
 
     # dataset: block-0 clips in presentation order + caption embeddings

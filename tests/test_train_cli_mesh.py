@@ -79,3 +79,41 @@ def test_train_cli_dp_tp_mesh(tmp_path, monkeypatch):
     logs = [json.loads(l) for l in open(out / "tuneavideo_metrics.jsonl")]
     assert len(logs) >= 2
     assert all(np.isfinite(l["train_loss"]) for l in logs)
+
+
+def test_reference_config_schema_mapping():
+    """configs/all_40_video.yaml AND the reference's own YAML both map onto
+    the CLI args (train_finetune_videodiffusion.py:400-405 schema)."""
+    import argparse
+    import yaml
+    from eeg2video_tpu.cli.train_tuneavideo import apply_reference_config
+
+    def fresh_args():
+        return argparse.Namespace(
+            learning_rate=1.0, train_batch_size=1, seed=0, output_dir="x",
+            epochs=1, checkpointing_epochs=1, validation_epochs=1,
+            validation_steps=1, video_dir="v")
+
+    with open("configs/all_40_video.yaml") as f:
+        ours = yaml.safe_load(f)
+    a = fresh_args()
+    remat = apply_reference_config(a, ours)
+    assert remat is True
+    assert a.learning_rate == 3e-5 and a.train_batch_size == 10
+    assert a.seed == 33 and a.epochs == 200
+    assert a.checkpointing_epochs == 1000 and a.validation_epochs == 100
+    assert a.validation_steps == 50
+    assert a.video_dir == "./data/Video_mp4/Block0"
+
+    ref_path = "/root/reference/EEG2Video_New/Generation/configs/all_40_video.yaml"
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = yaml.safe_load(f)
+        a2 = fresh_args()
+        assert apply_reference_config(a2, ref) is True
+        assert a2.learning_rate == 3e-5 and a2.epochs == 200
+
+    # a wrong trainable mask is rejected
+    import pytest
+    with pytest.raises(SystemExit):
+        apply_reference_config(fresh_args(), {"trainable_modules": ["attn1.to_k"]})
