@@ -119,8 +119,10 @@ def train_fold(features: np.ndarray, labels: np.ndarray, test_block: int,
     x_all = jnp.asarray(data["train"][0])
     y_all = jnp.asarray(data["train"][1])
 
+    # dataset as an argument, not a closure constant (closure arrays ship
+    # inside the compile payload; see train/semantic.py)
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_epoch(params, opt_state, perm, dropout_key):
+    def train_epoch(params, opt_state, perm, dropout_key, x_all, y_all):
         xb = x_all[perm[: n_batches * bs]].reshape(n_batches, bs, *x_all.shape[1:])
         yb = y_all[perm[: n_batches * bs]].reshape(n_batches, bs)
 
@@ -147,7 +149,8 @@ def train_fold(features: np.ndarray, labels: np.ndarray, test_block: int,
     for epoch in range(cfg.epochs):
         perm = jnp.asarray(rng.permutation(n))
         params, opt_state, loss = train_epoch(
-            params, opt_state, perm, jax.random.fold_in(key, 1000 + epoch)
+            params, opt_state, perm, jax.random.fold_in(key, 1000 + epoch),
+            x_all, y_all
         )
         val_top1, _, _, _ = _eval_fold(model, params, jnp.asarray(data["val"][0]),
                                        jnp.asarray(data["val"][1]), cfg.out_dim)

@@ -112,8 +112,12 @@ def train_semantic(eeg, text, cfg: SemanticTrainConfig = SemanticTrainConfig(),
         updates, opt_state = tx.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), loss
 
+    # the dataset rides as an ARGUMENT, not a closure constant: closed-over
+    # arrays are embedded in the compile payload (the 284MB text target blew
+    # the axon tunnel's remote-compile request limit, HTTP 413) and bloat
+    # the executable
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_epoch(params, opt_state, perm):
+    def train_epoch(params, opt_state, perm, x_all, y_all):
         xb = x_all[perm[: n_batches * bs]].reshape(n_batches, bs, -1)
         yb = y_all[perm[: n_batches * bs]].reshape(n_batches, bs, -1)
         (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), (xb, yb))
@@ -125,7 +129,8 @@ def train_semantic(eeg, text, cfg: SemanticTrainConfig = SemanticTrainConfig(),
     with ctx:
         for epoch in range(cfg.epochs):
             perm = jnp.asarray(rng.permutation(n))
-            params, opt_state, ep = train_epoch(params, opt_state, perm)
+            params, opt_state, ep = train_epoch(params, opt_state, perm,
+                                                x_all, y_all)
             losses.append(float(ep))
             if (epoch + 1) % 10 == 0:
                 log.info("semantic epoch %d loss %.5f", epoch + 1, losses[-1])

@@ -103,8 +103,10 @@ def train_seq2seq(train_eeg, train_lat, cfg: Seq2SeqTrainConfig = Seq2SeqTrainCo
         updates, opt_state = tx.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), new_bs, opt_state, k), loss
 
+    # dataset as an argument, not a closure constant (closure arrays ship
+    # inside the compile payload; see train/semantic.py)
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_epoch(params, batch_stats, opt_state, perm, k):
+    def train_epoch(params, batch_stats, opt_state, perm, k, x_all, y_all):
         xb = x_all[perm[: n_batches * bs]].reshape(n_batches, bs, *x_all.shape[1:])
         yb = y_all[perm[: n_batches * bs]].reshape(n_batches, bs, *y_all.shape[1:])
         (params, batch_stats, opt_state, _), losses = jax.lax.scan(
@@ -116,7 +118,8 @@ def train_seq2seq(train_eeg, train_lat, cfg: Seq2SeqTrainConfig = Seq2SeqTrainCo
     for epoch in range(cfg.epochs):
         perm = jnp.asarray(rng.permutation(n))
         params, batch_stats, opt_state, ep_loss = train_epoch(
-            params, batch_stats, opt_state, perm, jax.random.fold_in(key, epoch))
+            params, batch_stats, opt_state, perm,
+            jax.random.fold_in(key, epoch), x_all, y_all)
         losses.append(float(ep_loss))
         if (epoch + 1) % 10 == 0:
             log.info("seq2seq epoch %d loss %.5f", epoch + 1, losses[-1])
