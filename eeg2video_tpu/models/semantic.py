@@ -2,7 +2,7 @@
 
 The reference ``CLIP`` MLP (reference EEG2Video_New/Semantic/eeg_text.py:11-33;
 byte-identical class in EEG2Video/models/train_semantic_predictor.py:11-32):
-310 -> 10000 -> 10000 -> 10000 -> 10000 -> 77*768 with ReLU, ~387M params.
+310 -> 10000 -> 10000 -> 10000 -> 10000 -> 77*768 with ReLU, ~894M params (310·10⁴ + 3·10⁸ + 10⁴·59136).
 
 TPU-first: this is the first model big enough to warrant tensor parallelism.
 ``semantic_sharding_rules`` alternates column/row sharding over the "tp" mesh
