@@ -58,3 +58,46 @@ def test_pipeline_with_provided_latents(rng):
     out2 = pipe(emb, neg, latents=lat, video_length=2, height=32, width=32,
                 num_inference_steps=2, guidance_scale=12.5, decode=False)
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+class _StubTokenizer:
+    """CLIPTokenizer stand-in (no local HF vocab files in this env): maps
+    each prompt to deterministic ids with the CLIP padding contract."""
+
+    def __call__(self, prompts, max_length=77, padding=None, truncation=None,
+                 return_tensors=None):
+        import types
+
+        ids = np.full((len(prompts), max_length), 49407, np.int32)  # eos pad
+        for i, p in enumerate(prompts):
+            ids[i, 0] = 49406  # bos
+            toks = [1000 + (hash(w) % 40000) for w in p.split()][: max_length - 2]
+            ids[i, 1: 1 + len(toks)] = toks
+        return types.SimpleNamespace(input_ids=ids)
+
+
+def test_text_pipeline_wrapper(rng):
+    """TextToVideoPipeline (reference pipeline_tuneavideo.py:40-412): prompt
+    -> CLIP encode -> shared sampling core; negative = empty-prompt encoding
+    (the negative.npy contract, L230-233)."""
+    from eeg2video_tpu.diffusion.text_pipeline import TextToVideoPipeline
+    from eeg2video_tpu.models.clip_text import CLIPTextConfig
+
+    base = _tiny_pipeline()
+    tcfg = CLIPTextConfig(vocab_size=49408, hidden=768, layers=1, heads=4,
+                          intermediate=64)
+    tp = TextToVideoPipeline.create(base, None, _StubTokenizer(), tcfg)
+    tp.text_params = tp.text_model.init(
+        jax.random.key(0), jnp.zeros((1, 77), jnp.int32))
+
+    video = tp(["a cat is sleeping on the sofa"], video_length=2, height=32,
+               width=32, num_inference_steps=2, guidance_scale=7.5,
+               key=jax.random.key(3))
+    assert video.shape == (1, 2, 32, 32, 3)
+    v = np.asarray(video)
+    assert np.isfinite(v).all() and v.std() > 0
+
+    # empty-prompt negative differs from the prompt's own embedding
+    e1 = tp.encode_prompts(["a cat is sleeping on the sofa"])
+    e0 = tp.encode_prompts([""])
+    assert not np.allclose(e1, e0)
