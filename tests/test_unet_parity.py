@@ -259,3 +259,53 @@ def test_tiny_full_unet_parity(ref, rng):
         {"params": params["params"]}, jnp.asarray(t2j5(x)),
         jnp.asarray([3]), jnp.asarray(ctx)))
     np.testing.assert_allclose(got, t2j5(want), rtol=1e-3, atol=1e-4)
+
+
+def test_tiny_unet_2d_inflation_parity(ref, rng):
+    """from_pretrained_2d semantics against the EXECUTED reference
+    (unet.py:415-449): a "2-D SD" state dict — the 3-D dict minus every
+    `_temp` key — inflated via unet3d_params_from_torch_2d must reproduce
+    the reference model built with FRESH temporal modules, because the
+    freshly-initialized attn_temp has a zero output projection
+    (attention.py:201) and so contributes nothing regardless of its other
+    fresh weights.  This is the path real SD-1.4 checkpoints take; the
+    round-1 synthetic round-trip could not catch a wrong-but-self-consistent
+    layout rule, this can."""
+    torch.manual_seed(11)
+    model = ref["unet"].UNet3DConditionModel(
+        in_channels=4, out_channels=4, block_out_channels=(32, 64, 64, 64),
+        layers_per_block=2, attention_head_dim=4, cross_attention_dim=16,
+        norm_num_groups=8).eval()
+    # NO randomize_attn_temp: the model's fresh temporal modules are exactly
+    # what the reference's missing-key backfill produces (unet.py:437-449).
+    # One documented init difference: the reference zeroes only the out-proj
+    # WEIGHT (attention.py:201) and torch's fresh Linear leaves a random
+    # bias, so an inflated-but-untrained reference adds a random per-channel
+    # constant in every temporal attention; our inflation starts that bias
+    # at zero (the trained quantity either way).  Zero it here so the rest
+    # of the 2-D inflation is checked exactly.
+    for name, prm in model.named_parameters():
+        if "attn_temp.to_out" in name and name.endswith("bias"):
+            prm.data.zero_()
+    x = rng.standard_normal((1, 4, 2, 12, 16)).astype(np.float32)
+    ctx = rng.standard_normal((1, 7, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x), 3,
+                     encoder_hidden_states=torch.from_numpy(ctx)).sample.numpy()
+
+    from eeg2video_tpu.convert.unet_params import unet3d_params_from_torch_2d
+    from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+
+    sd2d = {k: v.detach().numpy() for k, v in model.state_dict().items()
+            if "_temp" not in k}
+    cfg = UNet3DConfig.tiny()
+    m = UNet3DConditionModel(cfg)
+    import jax
+
+    init = m.init(jax.random.key(5), jnp.asarray(t2j5(x)), jnp.asarray([3]),
+                  jnp.asarray(ctx))
+    params = unet3d_params_from_torch_2d(sd2d, init["params"])
+    got = np.asarray(m.apply({"params": params["params"]},
+                             jnp.asarray(t2j5(x)), jnp.asarray([3]),
+                             jnp.asarray(ctx)))
+    np.testing.assert_allclose(got, t2j5(want), rtol=1e-3, atol=1e-4)
