@@ -1,4 +1,4 @@
-"""Seq2Seq EEG -> video-latent transformer, Flax + fixed-length unrolled rollout.
+"""Seq2Seq EEG -> video-latent transformer, Flax + scanned fixed-length rollout.
 
 Re-design of the reference ``myTransformer``
 (reference EEG2Video_New/Seq2Seq/my_autoregressive_transformer.py:123-192):
@@ -12,9 +12,10 @@ Re-design of the reference ``myTransformer``
   from a zero token and feeds its own outputs back for 6 steps with causal
   masks (L176-181); the embedded teacher ``tgt`` is computed but unused, and
   the rollout tokens never receive positional encoding.  Here the rollout is
-  a fixed-length UNROLLED loop (6 steps) over a preallocated (B, 7, d)
-  buffer — semantics identical because the causal mask makes position i
-  depend only on positions <= i.
+  a fixed-length ``nn.scan`` (6 steps, params broadcast — same param tree
+  as an unrolled loop, so torch checkpoints interchange) over a
+  preallocated (B, 7, d) buffer — semantics identical because the causal
+  mask makes position i depend only on positions <= i.
 - Dual heads: ``txtpredictor`` Linear(512->13) on the mean encoder output
   (trained never — kept for checkpoint parity) and ``predictor``
   Linear(512 -> 4*36*64) (L145-149).
@@ -215,18 +216,27 @@ class Seq2SeqTransformer(nn.Module):
 
         # fixed-length autoregressive rollout from a zero token (L176-181);
         # tokens are raw decoder outputs — no embedding, no PE, matching the
-        # reference exactly.  The 6-step loop is UNROLLED over a preallocated
-        # (B, 7, d) buffer (not lax.scan: scanning over submodule calls needs
-        # nn.scan lifting, which reshapes the param tree and would break
-        # torch checkpoint interchange; at F=6 unrolling is cheap).
+        # reference exactly.  The 6-step loop runs as nn.scan with
+        # variable_broadcast="params": the decoder params are created once
+        # (identical tree to an unrolled loop — torch checkpoint interchange
+        # keeps working, tests/test_export_torch.py) while the traced
+        # program holds ONE decoder body instead of six.
         L = self.n_frames + 1
         causal = jnp.triu(jnp.full((L, L), -jnp.inf), k=1)[None, None]
         buf0 = jnp.zeros((B, L, self.d_model), dtype=emb.dtype)
 
-        buf = buf0
-        for i in range(self.n_frames):
-            dec = self._decode(buf, memory, causal, train=train)
-            buf = buf.at[:, i + 1].set(dec[:, i])
+        def rollout_step(mdl, buf, i):
+            dec = mdl._decode(buf, memory, causal, train=train)
+            tok = jax.lax.dynamic_slice_in_dim(dec, i, 1, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(buf, tok, i + 1,
+                                                       axis=1), None
+
+        buf, _ = nn.scan(
+            rollout_step,
+            variable_broadcast="params",
+            variable_axes={},
+            split_rngs={"params": False, "dropout": True},
+        )(self, buf0, jnp.arange(self.n_frames))
 
         txt = self.txtpredictor(jnp.mean(memory, axis=1))
         lat = self.predictor(buf).reshape(
