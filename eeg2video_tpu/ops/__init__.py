@@ -1,2 +1,3 @@
 from .attention import fused_attention, fused_attention_packed, mha_reference
+from .conv2d import fused_conv3x3_t
 from .geglu import fused_ff_ln, fused_geglu_out
