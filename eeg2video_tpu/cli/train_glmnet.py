@@ -95,37 +95,64 @@ def main(argv=None):
 
     n = len(y)
     steps_per_epoch = max(n // args.batch_size, 1)
-    sched = make_lr_schedule(args.scheduler, args.lr, args.min_lr,
-                             args.epochs * steps_per_epoch)
-    tx = optax.adamw(sched)
+    if args.scheduler == "reducelronplateau":
+        # the LR must be adjustable from the host between epochs WITHOUT
+        # retracing: inject_hyperparams keeps it inside opt_state (which is
+        # a jitted argument) — rebinding a closed-over tx would silently
+        # keep the traced optimizer's old LR
+        tx = optax.inject_hyperparams(optax.adamw)(learning_rate=args.lr)
+    else:
+        sched = make_lr_schedule(args.scheduler, args.lr, args.min_lr,
+                                 args.epochs * steps_per_epoch)
+        tx = optax.adamw(sched)
     opt_state = tx.init(params)
 
     import functools
 
+    bs = args.batch_size
+    n_batches = steps_per_epoch
+
+    # repo convention: whole shuffled epochs scan on device (donated state,
+    # dataset resident as jitted ARGUMENTS — per-batch host slicing +
+    # dispatch costs ~3.5 ms tunnel RTT each; see train/eegvp.py)
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, bstats, opt_state, xr, xf, y, k):
-        def loss_fn(p):
-            logits, mut = model.apply({"params": p, "batch_stats": bstats},
-                                      xr, xf, train=True, rngs={"dropout": k},
-                                      mutable=["batch_stats"])
-            return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean(), mut["batch_stats"]
+    def train_epoch(params, bstats, opt_state, perm, k, xr_all, xf_all, y_all):
+        sel = perm[: n_batches * bs]
+        xrb = xr_all[sel].reshape(n_batches, bs, *xr_all.shape[1:])
+        xfb = xf_all[sel].reshape(n_batches, bs, *xf_all.shape[1:])
+        yb = y_all[sel].reshape(n_batches, bs)
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+        def step(carry, batch):
+            params, bstats, opt_state, k = carry
+            xr_, xf_, y_ = batch
+            k, sub = jax.random.split(k)
 
+            def loss_fn(p):
+                logits, mut = model.apply(
+                    {"params": p, "batch_stats": bstats}, xr_, xf_,
+                    train=True, rngs={"dropout": sub},
+                    mutable=["batch_stats"])
+                return (optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y_).mean(), mut["batch_stats"])
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_bs, opt_state, k), loss
+
+        (params, bstats, opt_state, _), losses = jax.lax.scan(
+            step, (params, bstats, opt_state, k), (xrb, xfb, yb))
+        return params, bstats, opt_state, losses.sum()
+
+    xr_all = jnp.asarray(xr)
+    xf_all = jnp.asarray(xf)
+    y_all = jnp.asarray(y.astype(np.int32))
     rng = np.random.default_rng(args.seed)
     plateau_best, plateau_wait, lr_scale = np.inf, 0, 1.0
     for epoch in range(args.epochs):
-        perm = rng.permutation(n)
-        ep = 0.0
-        for s in range(0, n - args.batch_size + 1, args.batch_size):
-            idx = perm[s:s + args.batch_size]
-            params, bstats, opt_state, loss = step(
-                params, bstats, opt_state,
-                jnp.asarray(xr[idx]), jnp.asarray(xf[idx]), jnp.asarray(y[idx].astype(np.int32)),
-                jax.random.fold_in(key, epoch * steps_per_epoch + s))
-            ep += float(loss)
+        params, bstats, opt_state, ep = train_epoch(
+            params, bstats, opt_state, jnp.asarray(rng.permutation(n)),
+            jax.random.fold_in(key, epoch), xr_all, xf_all, y_all)
+        ep = float(ep)
         if args.scheduler == "reducelronplateau":
             if ep < plateau_best - 1e-4:
                 plateau_best, plateau_wait = ep, 0
@@ -133,8 +160,10 @@ def main(argv=None):
                 plateau_wait += 1
                 if plateau_wait >= 10:
                     lr_scale = max(lr_scale * 0.1, args.min_lr / args.lr)
-                    tx = optax.adamw(args.lr * lr_scale)
-                    opt_state = tx.init(params)
+                    # torch ReduceLROnPlateau keeps optimizer moments; only
+                    # the injected learning_rate changes
+                    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                        args.lr * lr_scale, jnp.float32)
                     plateau_wait = 0
                     log.info("plateau: lr -> %.2e", args.lr * lr_scale)
         if (epoch + 1) % 10 == 0:

@@ -32,3 +32,33 @@ def test_train_and_inference_glmnet(tmp_path, rng):
     emb = np.load(emb_out)
     assert emb.shape == (7, 40, 1, 1, 32)  # 2 * emb_dim embeddings per window
     assert np.all(np.isfinite(emb))
+
+
+def test_glmnet_plateau_lr_injection_reaches_traced_step():
+    """The plateau scheduler's LR lives in the injected optimizer state (a
+    jitted argument), so host-side changes reach the already-traced step —
+    rebinding a closed-over tx would silently keep the traced LR (the bug
+    this replaced).  Verified by zeroing the injected LR and observing the
+    params freeze without retracing."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    tx = optax.inject_hyperparams(optax.adamw)(learning_rate=1e-2)
+    params = {"w": jnp.ones((4,))}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        grads = {"w": jnp.ones((4,))}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    p1, opt_state = step(params, opt_state)
+    moved = float(jnp.max(jnp.abs(p1["w"] - params["w"])))
+    assert moved > 1e-4
+
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(0.0, jnp.float32)
+    p2, opt_state = step(p1, opt_state)
+    frozen = float(jnp.max(jnp.abs(p2["w"] - p1["w"])))
+    assert frozen < 1e-7, frozen
