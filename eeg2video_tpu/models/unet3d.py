@@ -75,6 +75,13 @@ class UNet3DConditionModel(nn.Module):
     config: UNet3DConfig = UNet3DConfig()
     dtype: Optional[jnp.dtype] = None
     remat: bool = False
+    # selective gradient checkpointing: only blocks whose input spatial size
+    # (H*W) is >= this threshold are remat'd.  Deep levels (9x16, 5x8) carry
+    # tiny activations but the most expensive convs to recompute — saving
+    # their activations costs ~nothing and skips the priciest recompute.
+    # 0 = remat everywhere (the reference's uniform gradient checkpointing,
+    # train L154-155).
+    remat_min_hw: int = 0
 
     @nn.compact
     def __call__(self, sample, timesteps, context, *, attention_mask=None,
@@ -108,8 +115,9 @@ class UNet3DConditionModel(nn.Module):
         temb = nn.Dense(cfg.block_out_channels[0] * 4, dtype=self.dtype, name="time_embed_1")(t_emb)
         temb = nn.Dense(cfg.block_out_channels[0] * 4, dtype=self.dtype, name="time_embed_2")(nn.silu(temb))
 
-        def maybe_remat(mod_cls):
-            return nn.remat(mod_cls, static_argnums=()) if self.remat else mod_cls
+        def maybe_remat(mod_cls, hw):
+            use = self.remat and hw >= self.remat_min_hw
+            return nn.remat(mod_cls, static_argnums=()) if use else mod_cls
 
         x = PseudoConv3d(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(sample)
 
@@ -119,7 +127,7 @@ class UNet3DConditionModel(nn.Module):
         for i, ch in enumerate(cfg.block_out_channels):
             is_final = i == n_blocks - 1
             if not is_final:
-                block = maybe_remat(CrossAttnDownBlock3D)(
+                block = maybe_remat(CrossAttnDownBlock3D, x.shape[2] * x.shape[3])(
                     ch, cfg.norm_num_groups, cfg.norm_eps,
                     cfg.layers_per_block, cfg.attention_heads,
                     add_downsample=True, dtype=self.dtype, name=f"down{i}",
@@ -127,7 +135,7 @@ class UNet3DConditionModel(nn.Module):
                 )
                 x, states = block(x, temb, context, level_bias[i])
             else:
-                block = maybe_remat(DownBlock3D)(
+                block = maybe_remat(DownBlock3D, x.shape[2] * x.shape[3])(
                     ch, cfg.norm_num_groups, cfg.norm_eps,
                     cfg.layers_per_block, add_downsample=False,
                     dtype=self.dtype, name=f"down{i}", train=train,
@@ -136,7 +144,7 @@ class UNet3DConditionModel(nn.Module):
             skips += states
 
         # mid (unet.py:142-156, 376-378)
-        x = maybe_remat(UNetMidBlock3DCrossAttn)(
+        x = maybe_remat(UNetMidBlock3DCrossAttn, x.shape[2] * x.shape[3])(
             cfg.block_out_channels[-1], cfg.norm_num_groups, cfg.norm_eps,
             attn_heads=cfg.attention_heads,
             dtype=self.dtype, name="mid", train=train,
@@ -151,14 +159,14 @@ class UNet3DConditionModel(nn.Module):
             skips = skips[:-n_up]
             upsample_size = None if is_final else tuple(skips[-1].shape[2:4])
             if i == 0:
-                block = maybe_remat(UpBlock3D)(
+                block = maybe_remat(UpBlock3D, x.shape[2] * x.shape[3])(
                     ch, cfg.norm_num_groups, cfg.norm_eps,
                     n_up, add_upsample=not is_final, dtype=self.dtype,
                     name=f"up{i}", train=train, upsample_size=upsample_size,
                 )
                 x = block(x, res_skips, temb)
             else:
-                block = maybe_remat(CrossAttnUpBlock3D)(
+                block = maybe_remat(CrossAttnUpBlock3D, x.shape[2] * x.shape[3])(
                     ch, cfg.norm_num_groups, cfg.norm_eps,
                     n_up, cfg.attention_heads, add_upsample=not is_final,
                     dtype=self.dtype, name=f"up{i}", train=train,

@@ -80,6 +80,11 @@ class VideoDiffusionTrainConfig:
     gradient_accumulation_steps: int = 1
     compute_dtype: str = "bfloat16"
     remat: bool = True
+    # remat only blocks with input H*W >= this (0 = everywhere); deep levels
+    # have tiny activations but the priciest recompute — see unet3d.
+    # Measured at the reference batch-10 recipe: 256 (levels 2/3/mid saved)
+    # = 1177 ms/step vs 1183 uniform; 600 (level 1 saved too) OOMs 16 GB.
+    remat_min_hw: int = 256
     # False = reference freeze rule (only attn1.to_q/attn2.to_q/attn_temp,
     # train L142-146); True = full fine-tune (every parameter trainable)
     train_all: bool = False
@@ -141,7 +146,8 @@ def init_video_train_state(unet_params, cfg: VideoDiffusionTrainConfig):
 
 def _make_loss_fn(unet_config, vae_config, cfg):
     dtype = jnp.dtype(cfg.compute_dtype)
-    unet = UNet3DConditionModel(unet_config, dtype=dtype, remat=cfg.remat)
+    unet = UNet3DConditionModel(unet_config, dtype=dtype, remat=cfg.remat,
+                                remat_min_hw=cfg.remat_min_hw)
     vae = AutoencoderKL(vae_config, dtype=dtype)
     ddpm = DDPMSchedule.create()
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=10)
+    p.add_argument("--remat_min_hw", type=int, default=0)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--pixels", action="store_true",
                    help="feed raw pixels (in-step VAE encode) instead of the "
@@ -41,7 +42,7 @@ def main():
     )
 
     ucfg, vcfg = UNet3DConfig(), VAEConfig()
-    tcfg = VideoDiffusionTrainConfig()
+    tcfg = VideoDiffusionTrainConfig(remat_min_hw=args.remat_min_hw)
     unet = UNet3DConditionModel(ucfg)
     vae = AutoencoderKL(vcfg)
 
