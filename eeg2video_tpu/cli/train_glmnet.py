@@ -94,6 +94,11 @@ def main(argv=None):
     params, bstats = variables["params"], variables.get("batch_stats", {})
 
     n = len(y)
+    if n < args.batch_size:
+        # a batch larger than the dataset would make perm[:bs] shorter than
+        # bs and fail the epoch-scan reshape at trace time
+        log.info("batch_size %d > %d samples; clamping", args.batch_size, n)
+        args.batch_size = n
     steps_per_epoch = max(n // args.batch_size, 1)
     if args.scheduler == "reducelronplateau":
         # the LR must be adjustable from the host between epochs WITHOUT

@@ -41,9 +41,17 @@ log = get_logger(__name__)
 def apply_reference_config(args, cfg_yaml):
     """Map a reference-schema YAML (configs/all_40_video.yaml; the
     reference's own file also loads) onto the CLI args; returns the remat
-    flag.  max_train_steps is consumed as epochs by the reference train loop
-    (train_finetune_videodiffusion.py:229) and the checkpoint/validation
-    "steps" gate on epochs (L343)."""
+    flag.
+
+    The reference IGNORES several of these keys: ``max_train_steps`` is dead
+    (train_finetune_videodiffusion.py:229 hardcodes ``num_train_epochs=200``,
+    the steps->epochs derivation at L259 is commented out) and both
+    validation sampling and checkpointing gate on a hardcoded
+    ``epoch % 100 == 0`` (L343) regardless of ``checkpointing_steps`` /
+    ``validation_steps``.  To reproduce reference runs for any YAML — not
+    just the shipped one — a reference-schema config maps those keys to the
+    reference's *effective* values (200 epochs, 100-epoch cadence), not
+    their literal ones."""
     # pyyaml (YAML 1.1) reads the reference's "3e-5" as a string (no dot);
     # OmegaConf coerced it — coerce numerics here for file compatibility
     coerce = {"learning_rate": float, "train_batch_size": int, "seed": int,
@@ -52,11 +60,15 @@ def apply_reference_config(args, cfg_yaml):
         if k in cfg_yaml:
             setattr(args, k, fn(cfg_yaml[k]))
     if "max_train_steps" in cfg_yaml:
-        args.epochs = int(cfg_yaml["max_train_steps"])
-    if "checkpointing_steps" in cfg_yaml:
-        args.checkpointing_epochs = int(cfg_yaml["checkpointing_steps"])
-    if "validation_steps" in cfg_yaml:
-        args.validation_epochs = int(cfg_yaml["validation_steps"])
+        log.info("max_train_steps=%s ignored: the reference hardcodes 200 "
+                 "epochs (train L229; L259 dead)", cfg_yaml["max_train_steps"])
+        args.epochs = 200
+    for yaml_key, arg_key in (("checkpointing_steps", "checkpointing_epochs"),
+                              ("validation_steps", "validation_epochs")):
+        if yaml_key in cfg_yaml:
+            log.info("%s=%s ignored: the reference gates on epoch%%100 "
+                     "(train L343)", yaml_key, cfg_yaml[yaml_key])
+            setattr(args, arg_key, 100)
     vd = cfg_yaml.get("validation_data") or {}
     if "num_inference_steps" in vd:
         args.validation_steps = int(vd["num_inference_steps"])

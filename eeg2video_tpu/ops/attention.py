@@ -626,7 +626,10 @@ def _packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse2_ref, delta_ref,
     for h in range(heads):
         nxt = qk_dp(h + 1) if h + 1 < heads else None
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        p = jnp.exp2(s2 - lse2_ref[0][:, h:h + 1])
+        # clamp mirrors the forward's static-shift softmax (the single-block
+        # kernel clips base-2 scores to ±100): keeps the recomputed p
+        # identical to the forward's under extreme logits and bounds exp2
+        p = jnp.exp2(jnp.clip(s2, -100.0, 100.0) - lse2_ref[0][:, h:h + 1])
         ds = (p * (dp - delta_ref[0][:, h:h + 1]) * scale).astype(ka.dtype)
         dq_t = jax.lax.dot_general(ka[:, sl], ds, (((0,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -664,7 +667,10 @@ def _packed_dkv_kernel(q_ref, do_ref, lse2_ref, delta_ref, k_ref, v_ref,
     for h in range(heads):
         nxt = qk_dp(h + 1) if h + 1 < heads else None
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        pt = jnp.exp2(s2t - lse2_ref[0, h:h + 1, :])  # (bk, Lqp)
+        # same ±100 clamp as the forward's static-shift softmax (see
+        # _packed_dq_kernel) so fwd/bwd probabilities agree under extremes
+        pt = jnp.exp2(jnp.clip(s2t, -100.0, 100.0)
+                      - lse2_ref[0, h:h + 1, :])  # (bk, Lqp)
         dv_t = jax.lax.dot_general(
             do[:, sl], pt.astype(do.dtype), (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (D, bk)

@@ -101,7 +101,9 @@ def test_reference_config_schema_mapping():
     assert remat is True
     assert a.learning_rate == 3e-5 and a.train_batch_size == 10
     assert a.seed == 33 and a.epochs == 200
-    assert a.checkpointing_epochs == 1000 and a.validation_epochs == 100
+    # checkpointing_steps/validation_steps map to the reference's EFFECTIVE
+    # cadence (epoch % 100 gate, train L343), not their literal values
+    assert a.checkpointing_epochs == 100 and a.validation_epochs == 100
     assert a.validation_steps == 50
     assert a.video_dir == "./data/Video_mp4/Block0"
 
