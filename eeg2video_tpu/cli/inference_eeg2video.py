@@ -26,14 +26,26 @@ from ..utils import get_logger
 log = get_logger(__name__)
 
 
+def _is_diffusers_dir(path, sub):
+    return (os.path.exists(os.path.join(path, sub, "config.json"))
+            or os.path.exists(os.path.join(path, "config.json")))
+
+
 def load_pipeline(unet_dir, vae_ckpt, dtype="bfloat16"):
-    """Build the pipeline from converted checkpoints: ``unet_dir`` may be an
-    orbax dir (our training output) or a torch diffusers .bin via
-    --torch flags handled by convert.unet_params."""
+    """Build the pipeline from checkpoints.  ``unet_dir`` may be a diffusers
+    ``save_pretrained`` directory (reference fine-tune output,
+    train_finetune_videodiffusion.py:376-382 — loaded by subfolder exactly
+    like reference inference L50) or an orbax dir (our training output);
+    ``vae_ckpt`` likewise accepts a diffusers dir or an orbax checkpoint."""
     import jax.numpy as jnp
 
     ucfg, vcfg = UNet3DConfig(), VAEConfig()
-    if os.path.isdir(os.path.join(unet_dir, "ckpt")) or os.path.isdir(unet_dir):
+    if _is_diffusers_dir(unet_dir, "unet"):
+        from ..convert.export_diffusion import load_diffusers_unet
+
+        ucfg, unet_vars = load_diffusers_unet(unet_dir)
+        unet_params = unet_vars["params"]
+    elif os.path.isdir(os.path.join(unet_dir, "ckpt")) or os.path.isdir(unet_dir):
         unet_params, _ = ckpt.restore_checkpoint(
             unet_dir if os.path.basename(unet_dir) == "ckpt" else os.path.join(unet_dir, "ckpt"))
         if unet_params is None:
@@ -42,11 +54,17 @@ def load_pipeline(unet_dir, vae_ckpt, dtype="bfloat16"):
             unet_params = unet_params["params"]
     else:
         raise SystemExit(f"unet checkpoint not found: {unet_dir}")
-    vae_params = ckpt.restore_checkpoint(vae_ckpt)[0]
-    if vae_params is None:
-        raise SystemExit(f"no VAE checkpoint in {vae_ckpt}")
-    if "params" in vae_params:
-        vae_params = vae_params["params"]
+    if _is_diffusers_dir(vae_ckpt, "vae"):
+        from ..convert.export_diffusion import load_diffusers_vae
+
+        vcfg, vae_vars = load_diffusers_vae(vae_ckpt)
+        vae_params = vae_vars["params"]
+    else:
+        vae_params = ckpt.restore_checkpoint(vae_ckpt)[0]
+        if vae_params is None:
+            raise SystemExit(f"no VAE checkpoint in {vae_ckpt}")
+        if "params" in vae_params:
+            vae_params = vae_params["params"]
     return EEG2VideoPipeline.create(unet_params, vae_params, ucfg, vcfg,
                                     dtype=jnp.dtype(dtype))
 

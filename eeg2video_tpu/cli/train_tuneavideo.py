@@ -241,7 +241,18 @@ def main(argv=None):
                 os.path.join(args.output_dir, "ckpt"), epoch,
                 {"params": state.params, "opt_state": state.opt_state,
                  "step": state.step})
-            log.info("checkpoint @ epoch %d -> %s", epoch, args.output_dir)
+            # reference checkpoints are a diffusers pipeline directory
+            # (pipeline.save_pretrained(output_dir), train L376-382) that
+            # its inference reloads by subfolder (inference L50); emit the
+            # same layout so a TPU-fine-tuned UNet flows back into the
+            # reference stack
+            from ..convert.export_diffusion import save_diffusers_pipeline
+
+            save_diffusers_pipeline(
+                args.output_dir, {"params": jax.device_get(state.params)},
+                ucfg, {"params": jax.device_get(vae_params)}, vcfg)
+            log.info("checkpoint @ epoch %d -> %s (orbax + diffusers layout)",
+                     epoch, args.output_dir)
 
 
 if __name__ == "__main__":

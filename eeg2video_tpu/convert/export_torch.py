@@ -43,6 +43,79 @@ def _emit_bn(sd, prefix, params, stats):
     sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
 
 
+def encoder_to_torch(name: str, variables) -> Dict[str, np.ndarray]:
+    """Any reference encoder (models.py:105-413) Flax variables -> torch
+    state dict; inverse of torch_params.encoder_params_from_torch, driven by
+    the same per-architecture spec tables so the two can't drift."""
+    from .torch_params import _SPECS
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+
+    def emit_spec(spec, p, s, torch_root=""):
+        for flax_name, kind, tprefix in spec:
+            full = f"{torch_root}{tprefix}"
+            if kind == "conv":
+                _emit_conv(sd, full, p[flax_name])
+            elif kind == "dense":
+                _emit_dense(sd, full, p[flax_name])
+            elif kind == "bn":
+                _emit_bn(sd, full, p[flax_name], s[flax_name])
+
+    if name in _SPECS:
+        emit_spec(_SPECS[name], params, stats)
+        return sd
+    if name == "glfnet":
+        emit_spec(_SPECS["shallownet"], params["globalnet"],
+                  stats["globalnet"], "globalnet.")
+        emit_spec(_SPECS["shallownet"], params["occipital_localnet"],
+                  stats["occipital_localnet"], "occipital_localnet.")
+        _emit_dense(sd, "out", params["out"])
+        return sd
+    if name == "glfnet_mlp":
+        return glfnet_mlp_to_torch(variables)
+    if name == "conformer":
+        return _conformer_to_torch(params, stats)
+    raise ValueError(f"no exporter for encoder '{name}'")
+
+
+def _conformer_to_torch(p, s) -> Dict[str, np.ndarray]:
+    """Inverse of torch_params._convert_conformer (reference models.py:343-350:
+    Sequential of PatchEmbedding(0), TransformerEncoder(1),
+    ClassificationHead(2))."""
+    sd: Dict[str, np.ndarray] = {}
+    _emit_conv(sd, "0.shallownet.0", p["patch_conv1"])
+    _emit_conv(sd, "0.shallownet.1", p["patch_conv2"])
+    _emit_bn(sd, "0.shallownet.2", p["patch_bn"], s["patch_bn"])
+    _emit_conv(sd, "0.projection.0", p["patch_proj"])
+    _emit_dense(sd, "2.fc.0", p["fc"])
+    # the reference ClassificationHead's clshead branch is DEAD (forward uses
+    # only fc, models.py:337-340); emit identity-LN + zero-Linear filler so
+    # strict load_state_dict succeeds
+    emb_size = _t(p["patch_proj"]["kernel"]).shape[-1]
+    out_dim = _t(p["fc"]["kernel"]).shape[-1]
+    sd["2.clshead.1.weight"] = np.ones((emb_size,), np.float32)
+    sd["2.clshead.1.bias"] = np.zeros((emb_size,), np.float32)
+    sd["2.clshead.2.weight"] = np.zeros((out_dim, emb_size), np.float32)
+    sd["2.clshead.2.bias"] = np.zeros((out_dim,), np.float32)
+    for d in range(3):
+        root = f"1.{d}"
+        ln1 = p[f"block{d}_ln1"]
+        sd[f"{root}.0.fn.0.weight"] = _t(ln1["scale"])
+        sd[f"{root}.0.fn.0.bias"] = _t(ln1["bias"])
+        mha = p[f"block{d}_mha"]
+        for flax_name, t in [("queries", "queries"), ("keys", "keys"),
+                             ("values", "values"), ("projection", "projection")]:
+            _emit_dense(sd, f"{root}.0.fn.1.{t}", mha[flax_name])
+        ln2 = p[f"block{d}_ln2"]
+        sd[f"{root}.1.fn.0.weight"] = _t(ln2["scale"])
+        sd[f"{root}.1.fn.0.bias"] = _t(ln2["bias"])
+        _emit_dense(sd, f"{root}.1.fn.1.0", p[f"block{d}_ff1"])
+        _emit_dense(sd, f"{root}.1.fn.1.3", p[f"block{d}_ff2"])
+    return sd
+
+
 def semantic_to_torch(variables) -> Dict[str, np.ndarray]:
     """SemanticPredictor -> reference CLIP-MLP state dict (mlp.0/2/4/6/8,
     eeg_text.py:11-33)."""
