@@ -94,9 +94,14 @@ def main():
         print(profiling.summarize(profiling.load_trace(args.trace),
                                   n_iters=args.iters))
     clips_s = b / (ms / 1e3)
+    from eeg2video_tpu.utils.flops import mfu, train_step_flops
+
+    step_flops = train_step_flops(ucfg, batch=b)
     print(f"batch {b}: {ms:.0f} ms/step  ({clips_s:.1f} clips/s; "
           f"200-clip epoch ~{200 / clips_s:.1f}s; "
-          f"200-epoch recipe ~{200 * 200 / clips_s / 3600:.2f}h)")
+          f"200-epoch recipe ~{200 * 200 / clips_s / 3600:.2f}h; "
+          f"step_tflop={step_flops / 1e12:.1f} "
+          f"mfu={100 * mfu(step_flops, ms / 1e3):.1f}%)")
 
 
 if __name__ == "__main__":
