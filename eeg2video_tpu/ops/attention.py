@@ -554,6 +554,228 @@ def _packed_kernel(q_ref, k_ref, v_ref, *rest,
                 axis=0)  # (H, 8, block_q)
 
 
+def _packed_dual_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, *rest,
+                        scale, heads, head_dim, kv_len, with_bias):
+    """Sparse-causal dual-KV specialization: softmax over the union of a
+    SHARED frame-0 KV block (one copy per batch element, indexed n//m by the
+    BlockSpec) and a per-frame previous-frame KV block — the reference's
+    concat([K0, K_prev]) contract (attention.py:292-301) WITHOUT the
+    (b·(f-2), 2l, H*D) HBM concat + frame-0 broadcast the round-2 path
+    materialized before every level-0/1 sparse call.
+
+    Whole-KV single block (both halves resident), static-shift clamped
+    base-2 softmax, software-pipelined head loop, transposed PV — the same
+    schedule as _packed_single_kernel.  ``rest`` = ([bias_ref,] o_ref);
+    bias (the reference attention_mask) covers the frame-0 half only, with
+    the previous-frame half unmasked — the reference's F.pad quirk
+    (attention.py:318-321)."""
+    if with_bias:
+        bias_ref, o_ref = rest
+        brow = bias_ref[0, 0, :].astype(jnp.float32)[None, :] * _LOG2E
+    else:
+        (o_ref,) = rest
+
+    qa = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    k0 = k0_ref[0]
+    v0 = v0_ref[0]
+    k1 = k1_ref[0]
+    v1 = v1_ref[0]
+    need_mask = kv_len < k0.shape[0]
+    if need_mask:
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (qa.shape[0], k0.shape[0]), 1)
+
+    def qk(h):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s0 = jax.lax.dot_general(qa[:, sl], k0[:, sl], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        s1 = jax.lax.dot_general(qa[:, sl], k1[:, sl], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if with_bias:
+            s0 = s0 + brow  # bias tail pre-filled with the mask value
+        elif need_mask:
+            s0 = jnp.where(col < kv_len, s0, DEFAULT_MASK_VALUE)
+        if need_mask:
+            s1 = jnp.where(col < kv_len, s1, DEFAULT_MASK_VALUE)
+        return s0, s1
+
+    outs = []
+    s0, s1 = qk(0)
+    for h in range(heads):
+        nxt = qk(h + 1) if h + 1 < heads else None
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        p0 = jnp.exp2(jnp.clip(s0, -100.0, 100.0))
+        p1 = jnp.exp2(jnp.clip(s1, -100.0, 100.0))
+        l = (jnp.sum(p0, axis=1, keepdims=True)
+             + jnp.sum(p1, axis=1, keepdims=True))
+        pv_t = jax.lax.dot_general(
+            v0[:, sl], p0.astype(v0.dtype), (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        pv_t = pv_t + jax.lax.dot_general(
+            v1[:, sl], p1.astype(v1.dtype), (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (D, bq)
+        outs.append((pv_t / l[:, 0][None, :]).T.astype(o_ref.dtype))
+        if nxt is not None:
+            s0, s1 = nxt
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "m",
+                                             "interpret"))
+def _flash_dual_fwd_packed(q, k0, v0, k1, v1, heads, scale, m,
+                           interpret=False, bias0=None):
+    """q/k1/v1 (N, L, H*D) with N = b*m; k0/v0 (b, L, H*D) shared per batch
+    element across its m frames.  Inference path only (no lse residual)."""
+    N, Lq, HD = q.shape
+    Lkv = k0.shape[1]
+    D = HD // heads
+    # same whole-KV q-block sizing as the single-block kernel, with the
+    # combined two-half KV width
+    lkvp = _round_up(Lkv, 128)
+    block_q, _ = _blocks_packed(Lq, 2 * lkvp, HD, heads, False)
+    qp = _pad_to(q, 1, block_q)
+    k0p = _pad_to(k0, 1, 128)
+    v0p = _pad_to(v0, 1, 128)
+    k1p = _pad_to(k1, 1, 128)
+    v1p = _pad_to(v1, 1, 128)
+    Lqp = qp.shape[1]
+    n_q = Lqp // block_q
+
+    inputs = [qp, k0p, v0p, k1p, v1p]
+    in_specs = [
+        pl.BlockSpec((1, block_q, HD), lambda n, i: (n, i, 0)),
+        pl.BlockSpec((1, lkvp, HD), lambda n, i: (n // m, 0, 0)),
+        pl.BlockSpec((1, lkvp, HD), lambda n, i: (n // m, 0, 0)),
+        pl.BlockSpec((1, lkvp, HD), lambda n, i: (n, 0, 0)),
+        pl.BlockSpec((1, lkvp, HD), lambda n, i: (n, 0, 0)),
+    ]
+    if bias0 is not None:
+        bp = jnp.pad(bias0.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, lkvp - Lkv)),
+                     constant_values=DEFAULT_MASK_VALUE)
+        inputs.append(bp)
+        in_specs.append(pl.BlockSpec((1, 1, lkvp), lambda n, i: (n // m, 0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_packed_dual_kernel, scale=scale, heads=heads,
+                          head_dim=D, kv_len=Lkv, with_bias=bias0 is not None),
+        out_shape=jax.ShapeDtypeStruct((N, Lqp, HD), q.dtype),
+        grid=(N, n_q),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, HD), lambda n, i: (n, i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out[:, :Lq]
+
+
+@functools.lru_cache(maxsize=None)
+def _dual_cp(heads, head_dim, scale, m, with_bias, interpret):
+    """custom_partitioning wrapper for the dual-KV kernel (same rationale as
+    _packed_cp): batch (nb) and heads (h) shard; m/lq/lkv/d replicate.  The
+    q/k1/v1 leading dim is the COMPOUND (nb m), so a dp sharding on it
+    shards nb — each shard keeps whole per-batch frame groups, matching the
+    n//m BlockSpec indexing of the shared frame-0 operands."""
+    from jax.experimental.custom_partitioning import (
+        CompoundFactor,
+        SdyShardingRule,
+        custom_partitioning,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def f(q, k0, v0, k1, v1, *bias):
+        return _flash_dual_fwd_packed(q, k0, v0, k1, v1, heads, scale, m,
+                                      interpret=interpret,
+                                      bias0=bias[0] if bias else None)
+
+    def _shardings(mesh, q_sharding):
+        spec = getattr(q_sharding, "spec", P())
+        n_ax, c_ax = _spec_get(spec, 0), _spec_get(spec, 2)
+        tp = _axis_size(mesh, c_ax)
+        if heads % tp != 0:
+            c_ax, tp = None, 1
+        big = NamedSharding(mesh, P(n_ax, None, c_ax))
+        small = NamedSharding(mesh, P(n_ax, None, c_ax))
+        bias_s = NamedSharding(mesh, P(n_ax, None, None))
+        return big, small, bias_s, tp
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        big, _, _, _ = _shardings(mesh, arg_shapes[0].sharding)
+        return big
+
+    def partition(mesh, arg_shapes, result_shape):
+        big, small, bias_s, tp = _shardings(mesh, arg_shapes[0].sharding)
+
+        def lower_fn(q, k0, v0, k1, v1, *bias):
+            return _flash_dual_fwd_packed(q, k0, v0, k1, v1, heads // tp,
+                                          scale, m, interpret=interpret,
+                                          bias0=bias[0] if bias else None)
+
+        args = (big, small, small, big, big)
+        if with_bias:
+            args += (bias_s,)
+        return mesh, lower_fn, big, args
+
+    hd = CompoundFactor("h", "d")
+    nm = CompoundFactor("nb", "m")
+    operands = ((nm, "lq", hd), ("nb", "lkv", hd), ("nb", "lkv", hd),
+                (nm, "lkv", hd), (nm, "lkv", hd))
+    if with_bias:
+        operands += (("nb", "b1", "lkv"),)
+    rule = SdyShardingRule(
+        operands, ((nm, "lq", hd),),
+        # sorted by first-appearance order: m < lq < d < lkv (< b1)
+        need_replication_factors=("m", "lq", "d", "lkv")
+        + (("b1",) if with_bias else ()),
+        m=m, d=head_dim, h=heads,  # h/m/d never appear as whole dimensions
+    )
+    f.def_partition(
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
+def fused_attention_dual(q, k0, v0, k1, v1, heads, m, scale=None, bias0=None):
+    """Sparse-causal dual-KV attention: softmax over [K0 | K_prev] without
+    materializing the concatenation.  q/k1/v1 (b*m, L, H*D), k0/v0
+    (b, L, H*D); ``bias0`` optional (b, 1, L) frame-0-half bias.
+
+    Long sequences hit the dual-KV Pallas kernel; short ones (and any shape
+    whose combined KV exceeds the whole-block VMEM budget) fall back to the
+    explicit-concat packed path.  Inference-only (the training path keeps
+    the concat formulation, which has the full Pallas backward)."""
+    hd = q.shape[-1] // heads
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(hd))
+    b = k0.shape[0]
+    Lkv = k0.shape[1]
+    lkvp = _round_up(Lkv, 128)
+    _, bk = _blocks_packed(q.shape[1], 2 * lkvp, q.shape[-1], heads, False)
+    if q.shape[1] >= _FLASH_MIN_LQ and bk >= 2 * lkvp:
+        interpret = jax.default_backend() != "tpu"
+        f = _dual_cp(heads, hd, float(scale), m, bias0 is not None, interpret)
+        return (f(q, k0, v0, k1, v1, bias0) if bias0 is not None
+                else f(q, k0, v0, k1, v1))
+    # fallback: explicit concat (the round-2 formulation)
+    kg = jnp.concatenate(
+        [jnp.broadcast_to(k0[:, None], (b, m) + k0.shape[1:]).reshape(b * m, Lkv, -1),
+         k1], axis=1)
+    vg = jnp.concatenate(
+        [jnp.broadcast_to(v0[:, None], (b, m) + v0.shape[1:]).reshape(b * m, Lkv, -1),
+         v1], axis=1)
+    bias = None
+    if bias0 is not None:
+        bias = jnp.repeat(
+            jnp.concatenate([bias0, jnp.zeros_like(bias0)], axis=-1), m, axis=0)
+    return fused_attention_packed(q, kg, vg, heads, scale, bias=bias)
+
+
 def _blocks_packed(Lq, Lkv, HD, heads, with_lse):
     """Tile sizes for the packed kernel under the scoped-VMEM limit.
 
@@ -594,13 +816,16 @@ def _blocks_packed(Lq, Lkv, HD, heads, with_lse):
     return 128, bk
 
 
-def _packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse2_ref, delta_ref,
-                      dq_ref, *, scale, heads, head_dim):
+def _packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse2_ref, delta_ref, *rest,
+                      scale, heads, head_dim, with_bias=False):
     """Packed-layout dq: grid (N, n_q), whole KV per cell, heads unrolled.
 
     lse2_ref is the forward residual prescaled by log2(e) (base-2 units,
     matching the base-2 score recompute); delta_ref is sum(g*out) per head.
     Zero-padded KV rows contribute nothing (ka rows are 0), so no masking.
+    ``with_bias``: rest leads with a (1, 1, Lkvp) additive-bias ref (the
+    reference's attention_mask, shared across heads/rows) added to the
+    base-2 scores before the clamp, exactly as the forward does.
 
     Same two schedule tricks as the forward (BENCH_NOTES round 2): the head
     loop is software-pipelined (head h+1's score/dp GEMMs issue before head
@@ -608,6 +833,11 @@ def _packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse2_ref, delta_ref,
     computed transposed — (D, bk) x (bk, bq) puts head_dim=40 on the 8-row
     M axis instead of the 128-lane-quantized N axis (3.2x fewer cycles).
     """
+    if with_bias:
+        bias_ref, dq_ref = rest
+        brow2 = bias_ref[0, 0, :].astype(jnp.float32)[None, :] * _LOG2E
+    else:
+        (dq_ref,) = rest
     qa = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     ka = k_ref[0]
     va = v_ref[0]
@@ -626,6 +856,8 @@ def _packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse2_ref, delta_ref,
     for h in range(heads):
         nxt = qk_dp(h + 1) if h + 1 < heads else None
         sl = slice(h * head_dim, (h + 1) * head_dim)
+        if with_bias:
+            s2 = s2 + brow2
         # clamp mirrors the forward's static-shift softmax (the single-block
         # kernel clips base-2 scores to ±100): keeps the recomputed p
         # identical to the forward's under extreme logits and bounds exp2
@@ -640,11 +872,21 @@ def _packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse2_ref, delta_ref,
 
 
 def _packed_dkv_kernel(q_ref, do_ref, lse2_ref, delta_ref, k_ref, v_ref,
-                       dk_ref, dv_ref, *, scale, heads, head_dim):
+                       *rest, scale, heads, head_dim, with_bias=False):
     """Packed-layout dk/dv: grid (N, n_kv), whole Q per cell, transposed
     scores (KV rows on the GEMM M axis).  lse2/delta come as (1, H, Lqp)
     rows.  dk = ds^T q scale: qa below carries scale*log2e, so folding ln2
-    into ds^T makes dsT @ qa == ds^T q * scale exactly."""
+    into ds^T makes dsT @ qa == ds^T q * scale exactly.
+    ``with_bias``: rest leads with a (1, bk, 1) bias COLUMN ref (transposed
+    host-side to match the transposed scores) and trails with a (1, bk, 1)
+    dbias output — dbias = sum over heads and query rows of the natural-units
+    ds, the exact vjp of the broadcast additive bias."""
+    if with_bias:
+        bias_ref, dk_ref, dv_ref, dbias_ref = rest
+        bcol2 = bias_ref[0].astype(jnp.float32) * _LOG2E  # (bk, 1)
+        db_acc = jnp.zeros((bias_ref.shape[1], 1), jnp.float32)
+    else:
+        dk_ref, dv_ref = rest
     qa = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     do = do_ref[0]
     ka = k_ref[0]
@@ -667,6 +909,8 @@ def _packed_dkv_kernel(q_ref, do_ref, lse2_ref, delta_ref, k_ref, v_ref,
     for h in range(heads):
         nxt = qk_dp(h + 1) if h + 1 < heads else None
         sl = slice(h * head_dim, (h + 1) * head_dim)
+        if with_bias:
+            s2t = s2t + bcol2
         # same ±100 clamp as the forward's static-shift softmax (see
         # _packed_dq_kernel) so fwd/bwd probabilities agree under extremes
         pt = jnp.exp2(jnp.clip(s2t, -100.0, 100.0)
@@ -675,7 +919,10 @@ def _packed_dkv_kernel(q_ref, do_ref, lse2_ref, delta_ref, k_ref, v_ref,
             do[:, sl], pt.astype(do.dtype), (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (D, bk)
         dvs.append(dv_t.T.astype(dv_ref.dtype))
-        dst = (pt * (dpt - delta_ref[0, h:h + 1, :]) * _LN2).astype(qa.dtype)
+        ds_nat = pt * (dpt - delta_ref[0, h:h + 1, :])  # (bk, Lqp) f32
+        if with_bias:
+            db_acc = db_acc + jnp.sum(ds_nat, axis=1, keepdims=True)
+        dst = (ds_nat * _LN2).astype(qa.dtype)
         dk_t = jax.lax.dot_general(
             qa[:, sl], dst, (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (D, bk)
@@ -684,6 +931,8 @@ def _packed_dkv_kernel(q_ref, do_ref, lse2_ref, delta_ref, k_ref, v_ref,
             s2t, dpt = nxt
     dk_ref[0] = jnp.concatenate(dks, axis=-1)
     dv_ref[0] = jnp.concatenate(dvs, axis=-1)
+    if with_bias:
+        dbias_ref[0] = db_acc
 
 
 def _bwd_blocks_packed(Lq, Lkv, HD, heads):
@@ -709,12 +958,19 @@ def _bwd_blocks_packed(Lq, Lkv, HD, heads):
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
-def _flash_bwd_packed(q, k, v, do, out, lse, scale, heads, interpret=False):
+def _flash_bwd_packed(q, k, v, do, out, lse, scale, heads, interpret=False,
+                      bias=None):
     """Packed-layout flash backward: q/k/v/do/out (N, L, H*D) channels-minor,
     lse (N, H, Lqp) natural-log units from the forward.  No D 40->128 HBM
     pads and no L<->H transposes (the round-1 (B,H,L,D) backward spent more
     time in layout copies + padded GEMMs than in math: 46 ms/call at the
-    level-0 training shape vs ~10 here)."""
+    level-0 training shape vs ~10 here).
+
+    ``bias``: optional (N, 1, Lkv) additive attention bias (the reference's
+    attention_mask, unet.py:314-317) — threaded through both passes' score
+    recompute, with a fourth return value dbias (N, 1, Lkv).  The (Lq, Lkv)
+    probability matrix is never materialized for masked attention either
+    (the round-2 XLA fallback would OOM at level-0 training shapes)."""
     N, Lq, HD = q.shape
     Lkv = k.shape[1]
     D = HD // heads
@@ -740,44 +996,71 @@ def _flash_bwd_packed(q, k, v, do, out, lse, scale, heads, interpret=False):
         dimension_semantics=("parallel", "parallel"),
         vmem_limit_bytes=64 * 1024 * 1024,
     )
+    dq_inputs = [qp, kp, vp, dop, lse2_col, delta_col]
+    dq_specs = [
+        pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, Lkvp, HD), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, Lkvp, HD), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, bq, heads), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, bq, heads), lambda b, i: (b, i, 0)),
+    ]
+    if bias is not None:
+        # pad the KV tail with the mask value like the forward: recomputed p
+        # stays identical to the forward's in the padded columns
+        bias_row = jnp.pad(bias.astype(jnp.float32),
+                           ((0, 0), (0, 0), (0, Lkvp - Lkv)),
+                           constant_values=DEFAULT_MASK_VALUE)
+        dq_inputs.append(bias_row)
+        dq_specs.append(pl.BlockSpec((1, 1, Lkvp), lambda b, i: (b, 0, 0)))
     dq = pl.pallas_call(
         functools.partial(_packed_dq_kernel, scale=scale, heads=heads,
-                          head_dim=D),
+                          head_dim=D, with_bias=bias is not None),
         out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
         grid=(N, Lqp // bq),
-        in_specs=[
-            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Lkvp, HD), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Lkvp, HD), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bq, heads), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bq, heads), lambda b, i: (b, i, 0)),
-        ],
+        in_specs=dq_specs,
         out_specs=pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0)),
         compiler_params=cparams,
         interpret=interpret,
-    )(qp, kp, vp, dop, lse2_col, delta_col)
+    )(*dq_inputs)
 
-    dk, dv = pl.pallas_call(
+    dkv_inputs = [qp, dop, lse2_row, delta_row, kp, vp]
+    dkv_specs = [
+        pl.BlockSpec((1, Lqp, HD), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, Lqp, HD), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, heads, Lqp), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, heads, Lqp), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0)),
+        pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0)),
+    ]
+    dkv_outs = [jax.ShapeDtypeStruct(kp.shape, k.dtype),
+                jax.ShapeDtypeStruct(vp.shape, v.dtype)]
+    dkv_out_specs = [pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0)),
+                     pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0))]
+    if bias is not None:
+        # bias as a COLUMN (N, Lkvp, 1) matching the transposed scores; the
+        # dbias output rides the same layout
+        bias_col = bias_row.transpose(0, 2, 1)
+        dkv_inputs.append(bias_col)
+        dkv_specs.append(pl.BlockSpec((1, bk, 1), lambda b, j: (b, j, 0)))
+        dkv_outs.append(jax.ShapeDtypeStruct((N, Lkvp, 1), jnp.float32))
+        dkv_out_specs.append(pl.BlockSpec((1, bk, 1), lambda b, j: (b, j, 0)))
+    res = pl.pallas_call(
         functools.partial(_packed_dkv_kernel, scale=scale, heads=heads,
-                          head_dim=D),
-        out_shape=(jax.ShapeDtypeStruct(kp.shape, k.dtype),
-                   jax.ShapeDtypeStruct(vp.shape, v.dtype)),
+                          head_dim=D, with_bias=bias is not None),
+        out_shape=tuple(dkv_outs),
         grid=(N, Lkvp // bk),
-        in_specs=[
-            pl.BlockSpec((1, Lqp, HD), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, Lqp, HD), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, heads, Lqp), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, heads, Lqp), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0)),
-        ],
-        out_specs=(pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0)),
-                   pl.BlockSpec((1, bk, HD), lambda b, j: (b, j, 0))),
+        in_specs=dkv_specs,
+        out_specs=tuple(dkv_out_specs),
         compiler_params=cparams,
         interpret=interpret,
-    )(qp, dop, lse2_row, delta_row, kp, vp)
+    )(*dkv_inputs)
 
+    if bias is not None:
+        dk, dv, dbias = res
+        return (dq[:, :Lq], dk[:, :Lkv], dv[:, :Lkv],
+                dbias[:, :Lkv, 0][:, None, :].astype(bias.dtype))
+    dk, dv = res
     return dq[:, :Lq], dk[:, :Lkv], dv[:, :Lkv]
 
 
@@ -1008,18 +1291,21 @@ def _packed_xla(q, k, v, bias, heads, scale):
 
 
 def _flash_packed_biased_fwd(q, k, v, bias, heads, scale):
-    return _flash_attention_packed_biased(q, k, v, bias, heads, scale), \
-        (q, k, v, bias)
+    interpret = jax.default_backend() != "tpu"
+    out, lse = _flash_fwd_packed(q, k, v, heads, scale, interpret=interpret,
+                                 return_lse=True, bias=bias)
+    return out, (q, k, v, bias, out, lse[:, :, 0, :])
 
 
 def _flash_packed_biased_bwd(heads, scale, res, g):
-    """Masked attention is not on the reference training path; the backward
-    recomputes through the XLA formulation (materializes scores) so grads —
-    including the bias grad — are exact without a dedicated Pallas pass."""
-    q, k, v, bias = res
-    _, vjp = jax.vjp(lambda q, k, v, b: _packed_xla(q, k, v, b, heads, scale),
-                     q, k, v, bias)
-    return vjp(g)
+    """Pallas backward with the bias threaded through the score recompute of
+    both packed passes (dbias = summed natural-units ds rows) — masked
+    training at level-0 shapes no longer materializes (Lq, Lkv) scores the
+    way the round-2 XLA fallback did."""
+    q, k, v, bias, out, lse = res
+    interpret = jax.default_backend() != "tpu"
+    return _flash_bwd_packed(q, k, v, g, out, lse, scale, heads,
+                             interpret=interpret, bias=bias)
 
 
 _flash_attention_packed_biased.defvjp(_flash_packed_biased_fwd,

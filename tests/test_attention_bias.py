@@ -64,6 +64,32 @@ def test_flash_bias_grad_matches_xla(rng):
                                    rtol=5e-4, atol=5e-4)
 
 
+def test_flash_bias_grad_includes_dbias(rng):
+    """The Pallas biased backward (round 3): grads wrt q/k/v AND the bias
+    itself match the XLA formulation, on ragged (padded) lengths."""
+    N, L, Lkv = 2, 300, 420
+    q = jnp.asarray(rng.standard_normal((N, L, H * D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((N, Lkv, H * D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((N, Lkv, H * D)).astype(np.float32))
+    bias = jnp.asarray(
+        rng.standard_normal((N, 1, Lkv)).astype(np.float32))  # soft bias
+
+    def loss_flash(q, k, v, b):
+        return jnp.sum(fused_attention_packed(q, k, v, H, bias=b) ** 2)
+
+    from eeg2video_tpu.ops.attention import _packed_xla
+
+    def loss_xla(q, k, v, b):
+        return jnp.sum(_packed_xla(q, k, v, b, H, 1.0 / np.sqrt(D)) ** 2)
+
+    gf = jax.grad(loss_flash, (0, 1, 2, 3))(q, k, v, bias)
+    gx = jax.grad(loss_xla, (0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gx):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_unet_attention_mask(rng):
     """all-ones mask == no mask; zeroing a spatial region changes the
     output there at every level (the mask is stride-2-tracked)."""
