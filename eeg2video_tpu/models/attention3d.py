@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops import (fused_attention, fused_attention_packed, fused_ff_ln,
-                   fused_geglu_out)
+from ..ops import (fused_attention, fused_attention_dual,
+                   fused_attention_packed, fused_ff_ln, fused_geglu_out)
 
 # Perf-debug knobs (trace-time): lets benchmarks ablate each attention kind
 # to attribute UNet step time.  Production code leaves these untouched.
@@ -88,7 +88,7 @@ class SparseCausalAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, bias=None):
+    def __call__(self, x, bias=None, *, train: bool = False):
         b, f, l, c = x.shape
         inner = self.heads * self.head_dim
         flat = x.reshape(b * f, l, c)
@@ -117,15 +117,28 @@ class SparseCausalAttention(nn.Module):
 
             # frames 2..F-1: K/V = concat(frame0, frame f-1) (L292-301)
             m = f - 2
+            if m == 0:
+                return nn.Dense(c, dtype=self.dtype, name="to_out")(out01)
             qr = qf[:, 2:].reshape(b * m, l, inner)
-            k0r = jnp.broadcast_to(kf[:, :1], (b, m, l, inner))
-            v0r = jnp.broadcast_to(vf[:, :1], (b, m, l, inner))
-            kg = jnp.concatenate([k0r, kf[:, 1:-1]], axis=2).reshape(b * m, 2 * l, inner)
-            vg = jnp.concatenate([v0r, vf[:, 1:-1]], axis=2).reshape(b * m, 2 * l, inner)
-            bias2 = (jnp.concatenate([bias, jnp.zeros_like(bias)], axis=-1)
-                     if bias is not None else None)
-            outr = fused_attention_packed(qr, kg, vg, self.heads,
-                                          bias=rep(bias2, m))
+            if not train:
+                # dual-KV kernel: frame-0 KV passed ONCE per batch element
+                # (BlockSpec-indexed), no (b*m, 2l, H*D) HBM concats
+                outr = fused_attention_dual(
+                    qr, kf[:, 0], vf[:, 0],
+                    kf[:, 1:-1].reshape(b * m, l, inner),
+                    vf[:, 1:-1].reshape(b * m, l, inner),
+                    self.heads, m=m, bias0=bias)
+            else:
+                # training keeps the explicit concat: its packed flash
+                # backward is complete (dq/dkv/dbias Pallas passes)
+                k0r = jnp.broadcast_to(kf[:, :1], (b, m, l, inner))
+                v0r = jnp.broadcast_to(vf[:, :1], (b, m, l, inner))
+                kg = jnp.concatenate([k0r, kf[:, 1:-1]], axis=2).reshape(b * m, 2 * l, inner)
+                vg = jnp.concatenate([v0r, vf[:, 1:-1]], axis=2).reshape(b * m, 2 * l, inner)
+                bias2 = (jnp.concatenate([bias, jnp.zeros_like(bias)], axis=-1)
+                         if bias is not None else None)
+                outr = fused_attention_packed(qr, kg, vg, self.heads,
+                                              bias=rep(bias2, m))
             out = jnp.concatenate([out01, outr.reshape(b, m, l, inner)], axis=1)
         else:
             out = fused_attention_packed(q, k, v, self.heads,
@@ -281,7 +294,7 @@ class BasicTransformerBlock(nn.Module):
         b, f, l, c = x.shape
         if not KNOBS["disable_sparse"]:
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-            x = x + SparseCausalAttention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(h, bias=attention_bias)
+            x = x + SparseCausalAttention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(h, bias=attention_bias, train=train)
 
         if not KNOBS["disable_cross"]:
             # cross-attention: context broadcast per frame (attention.py:94)
