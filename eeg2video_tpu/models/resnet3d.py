@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.conv2d import fused_conv3x3_t, eligible as _conv_eligible
+from ..ops.conv2d import (fused_conv3x3_t, fused_conv3x3_t_stats,
+                          eligible as _conv_eligible)
 
 
 def fold_frames(x):
@@ -127,6 +128,24 @@ class _PseudoConvParams(nn.Module):
         return _ConvParams(self.in_features, self.features, name="conv")()
 
 
+def _gn_affine_from_stats(stats, b, f, hw, gamma, beta, groups, eps):
+    """Same (scale, shift) as _gn_affine, but from the conv kernel's
+    per-image channel (sum, sum²) partials (ops.conv2d stats epilogue) —
+    no separate stats reduce over the conv output."""
+    c = stats.shape[-1]
+    gpc = c // groups
+    s = stats.reshape(b, f, 2, groups, gpc).sum(axis=(1, 4))  # (B, 2, G)
+    cnt = f * hw * gpc
+    mean = s[:, 0] / cnt
+    var = s[:, 1] / cnt - jnp.square(mean)
+    rstd = jax.lax.rsqrt(var + eps)
+    scale = (gamma.astype(jnp.float32).reshape(groups, gpc)[None]
+             * rstd[:, :, None])
+    shift = (beta.astype(jnp.float32).reshape(groups, gpc)[None]
+             - mean[:, :, None] * scale)
+    return scale.reshape(b, c), shift.reshape(b, c)
+
+
 def _gn_affine(x, gamma, beta, groups, eps):
     """Per-(image, channel) scale/shift of the GroupNorm affine, stats pooled
     over (F, H, W, group-channels) like the reference's 5-D GN
@@ -178,6 +197,7 @@ class ResnetBlock3D(nn.Module):
         use2 = not train and _conv_eligible(hh, ww, self.features,
                                             self.features, self.dtype)
         dt = self.dtype or x.dtype
+        conv1_stats = None
 
         if use1:
             g1, bt1 = _GNParams(in_features, name="norm1")()
@@ -188,11 +208,21 @@ class ResnetBlock3D(nn.Module):
                              name="time_emb_proj")(nn.silu(temb))
                 temb_row = jnp.repeat(t.astype(jnp.float32), f, axis=0)
             s1, sh1 = _gn_affine(x, g1, bt1, self.groups, self.eps)
-            h = fused_conv3x3_t(
-                x.reshape(b * f, hh, ww, in_features).astype(dt),
-                wk1.astype(dt), wb1,
-                jnp.repeat(s1, f, axis=0), jnp.repeat(sh1, f, axis=0),
-                temb_row)
+            conv1_stats = None
+            if use2:
+                # stats epilogue: conv1 emits the per-image (sum, sum²)
+                # partials norm2 needs, killing its separate stats reduce
+                h, conv1_stats = fused_conv3x3_t_stats(
+                    x.reshape(b * f, hh, ww, in_features).astype(dt),
+                    wk1.astype(dt), wb1,
+                    jnp.repeat(s1, f, axis=0), jnp.repeat(sh1, f, axis=0),
+                    temb_row)
+            else:
+                h = fused_conv3x3_t(
+                    x.reshape(b * f, hh, ww, in_features).astype(dt),
+                    wk1.astype(dt), wb1,
+                    jnp.repeat(s1, f, axis=0), jnp.repeat(sh1, f, axis=0),
+                    temb_row)
             h = h.reshape(b, f, hh, ww, self.features)
         else:
             h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
@@ -206,7 +236,11 @@ class ResnetBlock3D(nn.Module):
         if use2:
             g2, bt2 = _GNParams(self.features, name="norm2")()
             wk2, wb2 = _PseudoConvParams(self.features, self.features, name="conv2")()
-            s2, sh2 = _gn_affine(h, g2, bt2, self.groups, self.eps)
+            if use1 and conv1_stats is not None:
+                s2, sh2 = _gn_affine_from_stats(
+                    conv1_stats, b, f, hh * ww, g2, bt2, self.groups, self.eps)
+            else:
+                s2, sh2 = _gn_affine(h, g2, bt2, self.groups, self.eps)
             h = fused_conv3x3_t(
                 h.reshape(b * f, hh, ww, self.features).astype(dt),
                 wk2.astype(dt), wb2,

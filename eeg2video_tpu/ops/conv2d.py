@@ -46,14 +46,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv3x3_t_kernel(x_ref, scale_ref, shift_ref, w_ref, bt_ref, o_ref,
-                      plane_ref, col_ref, acc_ref, *,
-                      H, W, Cin, Cout, g, n_groups, prologue):
+                      *rest, H, W, Cin, Cout, g, n_groups, prologue,
+                      with_stats=False):
     """Grid (N, n_groups).  Refs:
     x (1, H, W, Cin) bf16 | scale/shift (1, 1, Cin) f32 | w (1, Cout,
     g*Cin) bf16, indexed by group | bt (1, 2?, Cout) f32 bias row (+ optional temb row,
     pre-summed host-side to one row) | out (1, H, W, Cout) bf16.
     Scratch: plane ((H+2)(W+2) rows, Cin) bf16, col (HW, g*Cin) bf16,
-    acc (Cout, HW) f32."""
+    acc (Cout, HW) f32.
+    ``with_stats``: rest leads with a (1, 8, Cout) f32 stats output — rows
+    0/1 get the per-image channel (sum, sum-of-squares) of the STORED bf16
+    output, the partials the next GroupNorm needs (its separate stats
+    reduce over this tensor then never runs; rows 2-7 are padding)."""
+    if with_stats:
+        stats_ref, *rest = rest
+    (plane_ref, col_ref, acc_ref) = rest
     j = pl.program_id(1)
     Wp = W + 2
 
@@ -106,7 +113,12 @@ def _conv3x3_t_kernel(x_ref, scale_ref, shift_ref, w_ref, bt_ref, o_ref,
     @pl.when(j == n_groups - 1)
     def _store():
         out_t = acc_ref[...] + bt_ref[0, 0][:, None]
-        o_ref[0] = out_t.T.astype(o_ref.dtype).reshape(H, W, Cout)
+        ot = out_t.T.astype(o_ref.dtype)  # (HW, Cout) channels-minor
+        o_ref[0] = ot.reshape(H, W, Cout)
+        if with_stats:
+            of = ot.astype(jnp.float32)  # stats of the STORED bf16 values
+            stats_ref[0, 0, :] = jnp.sum(of, axis=0)
+            stats_ref[0, 1, :] = jnp.sum(of * of, axis=0)
 
 
 def eligible(h, w, cin, cout, dtype):
@@ -147,8 +159,9 @@ def _conv3x3_t_ref(x, w, b, scale, shift, temb):
     return out.astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _conv3x3_t_fwd(x, w, b, scale, shift, temb, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "with_stats"))
+def _conv3x3_t_fwd(x, w, b, scale, shift, temb, interpret=False,
+                   with_stats=False):
     N, H, W, Cin = x.shape
     Cout = w.shape[-1]
     prologue = scale is not None
@@ -171,12 +184,17 @@ def _conv3x3_t_fwd(x, w, b, scale, shift, temb, interpret=False):
 
     kern = functools.partial(
         _conv3x3_t_kernel, H=H, W=W, Cin=Cin, Cout=Cout, g=g,
-        n_groups=n_groups, prologue=prologue)
+        n_groups=n_groups, prologue=prologue, with_stats=with_stats)
     rows = (H + 2) * (W + 2)
     rows += (-rows) % 8
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((N, H, W, Cout), x.dtype)]
+    out_specs = [pl.BlockSpec((1, H, W, Cout), lambda n, j: (n, 0, 0, 0))]
+    if with_stats:
+        out_shape.append(jax.ShapeDtypeStruct((N, 8, Cout), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 8, Cout), lambda n, j: (n, 0, 0)))
+    res = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((N, H, W, Cout), x.dtype),
+        out_shape=tuple(out_shape),
         grid=(N, n_groups),
         in_specs=[
             pl.BlockSpec((1, H, W, Cin), lambda n, j: (n, 0, 0, 0)),
@@ -185,7 +203,7 @@ def _conv3x3_t_fwd(x, w, b, scale, shift, temb, interpret=False):
             pl.BlockSpec((1, Cout, g * Cin), lambda n, j: (j, 0, 0)),
             pl.BlockSpec((1, 1, Cout), lambda n, j: (n, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H, W, Cout), lambda n, j: (n, 0, 0, 0)),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((rows, Cin), x.dtype),
             pltpu.VMEM((H * W, g * Cin), x.dtype),
@@ -197,6 +215,9 @@ def _conv3x3_t_fwd(x, w, b, scale, shift, temb, interpret=False):
         ),
         interpret=interpret,
     )(x, scale3, shift3, w_flat, bt)
+    if with_stats:
+        return res[0], res[1][:, :2]
+    return res[0]
 
 
 def _dispatch(x, w, b, scale, shift, temb):
@@ -205,6 +226,21 @@ def _dispatch(x, w, b, scale, shift, temb):
         # formulation is the same math
         return _conv3x3_t_ref(x, w, b, scale, shift, temb)
     return _conv3x3_t_fwd(x, w, b, scale, shift, temb)
+
+
+def fused_conv3x3_t_stats(x, w, b, scale, shift, temb):
+    """fused_conv3x3_t + per-image channel (sum, sum²) of the output as a
+    second (N, 2, Cout) f32 result — the partials the FOLLOWING GroupNorm
+    needs (resnet conv1 -> norm2 chains), so its stats reduce over the conv
+    output never runs as a separate HBM pass.  Inference-only: no vjp (the
+    training forward stays all-XLA by measurement, BENCH_NOTES round 2)."""
+    if jax.default_backend() != "tpu":
+        out = _conv3x3_t_ref(x, w, b, scale, shift, temb)
+        of = out.astype(jnp.float32)
+        stats = jnp.stack([jnp.sum(of, axis=(1, 2)),
+                           jnp.sum(of * of, axis=(1, 2))], axis=1)
+        return out, stats
+    return _conv3x3_t_fwd(x, w, b, scale, shift, temb, with_stats=True)
 
 
 @jax.custom_vjp
