@@ -69,9 +69,68 @@ def load_pipeline(unet_dir, vae_ckpt, dtype="bfloat16"):
                                     dtype=jnp.dtype(dtype))
 
 
+def legacy_embeddings(features_path, semantic_ckpt=None, torch_semantic=None,
+                      hidden=10000):
+    """Legacy in-pipeline EEG encoding, chained in one run.
+
+    Reference EEG2Video/inference_eeg2video.py:38-65: the legacy driver
+    GT-reorders every block, averages the per-clip windows, re-fits a
+    StandardScaler on the train blocks (0-5) AT INFERENCE TIME (L61) and
+    transforms the test block with it (L64); the CLIP MLP then runs inside
+    the pipeline's ``_encode_eeg`` (pipeline_tuneeeg2video.py legacy
+    L149-150).  Feature plumbing matches our ``train_semantic --legacy``
+    (DE_1per1s window-mean -> 310-dim); the legacy tree's raw 62*200 input
+    is dimensionally inconsistent with its own CLIP(310) MLP — see PARITY.md.
+    Returns (200, 77*768) embeddings for the shared pipeline."""
+    import jax.numpy as jnp
+    from ..data import meta
+    from ..train.semantic import predict_semantic
+
+    feats = load_array(features_path)  # (7, 40, 5, W, 62, 5)
+    flat = feats.reshape(feats.shape[0], 40 * 5, -1,
+                         meta.N_CHANNELS * meta.N_BANDS)
+    per_block = np.stack([meta.reorder_by_gt(flat[b].mean(axis=1), b)
+                          for b in range(meta.N_BLOCKS)])
+    train = per_block[:6].reshape(-1, per_block.shape[-1])
+    test = per_block[6]
+    from ..utils import StandardScaler
+
+    scaler = StandardScaler().fit(train)  # reference L61: train-fit at inference
+    eeg = scaler.transform(test)
+
+    if torch_semantic:
+        from ..models.semantic import semantic_params_from_torch
+
+        variables = semantic_params_from_torch(ckpt.load_torch_state_dict(torch_semantic))
+    else:
+        from ..models.semantic import SemanticPredictor
+
+        model = SemanticPredictor(hidden=hidden)
+        template = jax.eval_shape(lambda: {"params": model.init(
+            jax.random.key(0), jnp.zeros((1, eeg.shape[-1])))["params"]})
+        variables, _ = ckpt.restore_checkpoint(semantic_ckpt, template=template)
+        if variables is None:
+            raise SystemExit(f"no semantic checkpoint in {semantic_ckpt}")
+    return predict_semantic(variables, eeg, hidden=hidden)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--embeddings", default="./outputs/semantic/semantic_embeddings.npy")
+    p.add_argument("--legacy", action="store_true",
+                   help="legacy variant: run scaler -> CLIP MLP in-process on "
+                        "raw DE features instead of loading precomputed "
+                        "embeddings (reference EEG2Video/inference_eeg2video.py:38-65)")
+    p.add_argument("--raw_features", default="./data/Preprocessing/DE_1per1s/sub1.npy",
+                   help="(--legacy) per-subject DE_1per1s features")
+    p.add_argument("--semantic_ckpt", default="./outputs/semantic/ckpt",
+                   help="(--legacy) orbax semantic-predictor checkpoint")
+    p.add_argument("--torch_semantic", default=None,
+                   help="(--legacy) reference eeg2text .pt checkpoint instead")
+    p.add_argument("--hidden", type=int, default=10000,
+                   help="(--legacy) semantic MLP hidden width")
+    p.add_argument("--limit", type=int, default=0,
+                   help="generate only the first N clips (0 = all)")
     p.add_argument("--unet", default="./outputs/tuneavideo")
     p.add_argument("--vae", default="./checkpoints/vae/ckpt")
     p.add_argument("--seq2seq_latents", default="./outputs/seq2seq/latent_out_block7_40_classes.npy")
@@ -91,6 +150,11 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--video_length", type=int, default=6)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="compute dtype (reference inference is fp16, "
+                        "inference_eeg2video.py:50-51; bf16 is the TPU "
+                        "equivalent, float32 the parity mode)")
     p.add_argument("--seed", type=int, default=114514)
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel generation over a device mesh "
@@ -99,7 +163,14 @@ def main(argv=None):
                    help="tensor-parallel UNet sharding (with --dp)")
     args = p.parse_args(argv)
 
-    emb = load_array(args.embeddings).reshape(-1, 77 * 768).astype(np.float32)
+    if args.legacy:
+        emb = legacy_embeddings(args.raw_features, args.semantic_ckpt,
+                                args.torch_semantic, args.hidden)
+        emb = emb.reshape(-1, 77 * 768).astype(np.float32)
+    else:
+        emb = load_array(args.embeddings).reshape(-1, 77 * 768).astype(np.float32)
+    if args.limit:
+        emb = emb[:args.limit]
     if args.negative:
         negative = load_array(args.negative).reshape(-1).astype(np.float32)
     else:
@@ -116,7 +187,7 @@ def main(argv=None):
     out_dir = args.out_dir or f"./outputs/{tag}"
     os.makedirs(out_dir, exist_ok=True)
 
-    pipe = load_pipeline(args.unet, args.vae)
+    pipe = load_pipeline(args.unet, args.vae, dtype=args.dtype)
     if args.dp or args.tp > 1:
         from ..parallel import make_mesh
         from ..train import unet_tp_rules

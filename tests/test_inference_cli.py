@@ -71,6 +71,48 @@ def test_inference_cli_with_tiny_pipeline(tmp_path, rng, monkeypatch):
         assert clip.shape[0] == 2  # frames
 
 
+def test_inference_cli_legacy_mode(tmp_path, rng, monkeypatch):
+    """--legacy chains train-fit scaler -> CLIP MLP -> pipeline in ONE run
+    (reference EEG2Video/inference_eeg2video.py:38-65: scaler fit on
+    GT-reordered train blocks at inference, MLP in _encode_eeg)."""
+    from eeg2video_tpu.cli import inference_eeg2video
+    from eeg2video_tpu.diffusion.pipeline import EEG2VideoPipeline
+    from eeg2video_tpu.models.semantic import SemanticPredictor
+    from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+    from eeg2video_tpu.models.vae import AutoencoderKL, VAEConfig
+    from eeg2video_tpu.train import checkpoint as ckpt
+
+    ucfg = UNet3DConfig.tiny()
+    ucfg = type(ucfg)(**{**ucfg.__dict__, "cross_attention_dim": 768})
+    vcfg = VAEConfig.tiny()
+    unet = UNet3DConditionModel(ucfg)
+    vae = AutoencoderKL(vcfg)
+    up = unet.init(jax.random.key(0), np.zeros((1, 2, 4, 4, 4), np.float32),
+                   jnp.asarray([0]), np.zeros((1, 77, 768), np.float32))["params"]
+    vp = vae.init(jax.random.key(1), np.zeros((1, 32, 32, 3), np.float32))["params"]
+    pipe = EEG2VideoPipeline.create(up, vp, ucfg, vcfg, dtype=jnp.float32)
+    monkeypatch.setattr(inference_eeg2video, "load_pipeline", lambda *a, **k: pipe)
+
+    feats = rng.standard_normal((7, 40, 5, 2, 62, 5)).astype(np.float32)
+    np.save(tmp_path / "de.npy", feats)
+    model = SemanticPredictor(hidden=8)
+    variables = {"params": model.init(
+        jax.random.key(2), np.zeros((1, 310), np.float32))["params"]}
+    ckpt.save_checkpoint(str(tmp_path / "sem_ckpt"), 0, variables)
+
+    out_dir = tmp_path / "clips"
+    inference_eeg2video.main([
+        "--legacy", "--raw_features", str(tmp_path / "de.npy"),
+        "--semantic_ckpt", str(tmp_path / "sem_ckpt"), "--hidden", "8",
+        "--woSeq2Seq", "--limit", "2", "--out_dir", str(out_dir),
+        "--num_inference_steps", "2", "--height", "32", "--width", "32",
+        "--video_length", "2", "--batch", "2"])
+    for i in range(2):
+        clip = load_gif(out_dir / f"{i}.gif")
+        assert clip.shape[0] == 2
+    assert not (out_dir / "2.gif").exists()  # --limit honored
+
+
 def test_run_metrics_gt_order_mapping():
     """Prediction i (class order) must map to the GT clip at the block-6
     presentation position of class i (reference legacy L284-290)."""
