@@ -86,6 +86,104 @@ def test_config_tree(tmp_path):
     assert cfg.data.outputs == "./o2"
 
 
+def test_classifier_metrics_from_pretrained_image(tmp_path, rng):
+    """The REAL loading branch (eval/metrics.py image kind): a random-weight
+    ViT saved with save_pretrained is loaded back via model_path — the code
+    path users hit with actual hub checkpoints, exercised offline."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import ViTConfig, ViTForImageClassification, ViTImageProcessor
+
+    from eeg2video_tpu.eval.metrics import classifier_metrics
+
+    d = tmp_path / "vit"
+    cfg = ViTConfig(hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+                    intermediate_size=64, image_size=32, patch_size=16,
+                    num_labels=10)
+    torch.manual_seed(0)
+    ViTForImageClassification(cfg).save_pretrained(d)
+    ViTImageProcessor(size={"height": 32, "width": 32}).save_pretrained(d)
+
+    frames = rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32)
+    accs, _ = classifier_metrics(frames, frames, kind="image", n_way=2,
+                                 num_trials=10, model_path=str(d),
+                                 rng=np.random.default_rng(0))
+    assert len(accs) == 2 and all(a == 1.0 for a in accs)
+
+
+def test_classifier_metrics_from_pretrained_video(tmp_path, rng):
+    """Same for the VideoMAE video branch, including the num_frames override
+    classifier_metrics passes to from_pretrained."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import (VideoMAEConfig, VideoMAEForVideoClassification,
+                              VideoMAEImageProcessor)
+
+    from eeg2video_tpu.eval.metrics import classifier_metrics
+
+    d = tmp_path / "videomae"
+    cfg = VideoMAEConfig(hidden_size=32, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=64,
+                         image_size=32, patch_size=16, num_frames=2,
+                         tubelet_size=2, num_labels=10)
+    torch.manual_seed(0)
+    VideoMAEForVideoClassification(cfg).save_pretrained(d)
+    VideoMAEImageProcessor(size={"shortest_edge": 32},
+                           crop_size={"height": 32, "width": 32}).save_pretrained(d)
+
+    clips = rng.uniform(0, 255, (2, 2, 32, 32, 3)).astype(np.uint8)
+    accs, _ = classifier_metrics(clips, clips, kind="video", n_way=2,
+                                 num_trials=10, model_path=str(d),
+                                 rng=np.random.default_rng(0))
+    assert len(accs) == 2 and all(a == 1.0 for a in accs)
+
+
+def test_clip_score_from_pretrained(tmp_path, rng):
+    """clip_score's real CLIPModel/CLIPProcessor loading path, offline: a
+    tiny random-weight CLIP (with a 2-token tokenizer — clip_score only uses
+    the vision tower) saved and reloaded by directory."""
+    import json
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import (CLIPConfig, CLIPImageProcessor, CLIPModel,
+                              CLIPProcessor, CLIPTextConfig, CLIPTokenizer,
+                              CLIPVisionConfig)
+
+    from eeg2video_tpu.eval.metrics import clip_score
+
+    d = tmp_path / "clip"
+    d.mkdir()
+    (d / "vocab.json").write_text(json.dumps(
+        {"<|startoftext|>": 0, "<|endoftext|>": 1}))
+    (d / "merges.txt").write_text("#version: 0.2\n")
+    tok = CLIPTokenizer(str(d / "vocab.json"), str(d / "merges.txt"))
+    proc = CLIPProcessor(
+        image_processor=CLIPImageProcessor(size={"shortest_edge": 32},
+                                           crop_size={"height": 32, "width": 32}),
+        tokenizer=tok)
+    proc.save_pretrained(d)
+    cfg = CLIPConfig(
+        text_config=CLIPTextConfig(vocab_size=4, hidden_size=32,
+                                   num_hidden_layers=1, num_attention_heads=2,
+                                   intermediate_size=64).to_dict(),
+        vision_config=CLIPVisionConfig(hidden_size=32, num_hidden_layers=1,
+                                       num_attention_heads=2,
+                                       intermediate_size=64, image_size=32,
+                                       patch_size=16).to_dict(),
+        projection_dim=16)
+    torch.manual_seed(0)
+    CLIPModel(cfg).save_pretrained(d)
+
+    imgs = rng.uniform(0, 255, (3, 32, 32, 3)).astype(np.uint8)
+    sims = clip_score(imgs, imgs, model_path=str(d))
+    assert sims.shape == (3,)
+    np.testing.assert_allclose(sims, 1.0, atol=1e-5)
+
+
 def test_classifier_metrics_with_injected_model(rng):
     """Exercise the ViT n-way path offline with a config-instantiated tiny
     model (no hub access)."""
