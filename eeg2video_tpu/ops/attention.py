@@ -935,6 +935,76 @@ def _packed_dkv_kernel(q_ref, do_ref, lse2_ref, delta_ref, k_ref, v_ref,
         dbias_ref[0] = db_acc
 
 
+def _packed_dqkv_kernel(q_ref, do_ref, lse2_ref, delta_ref, k_ref, v_ref,
+                        dk_ref, dv_ref, dq_ref, dq_acc, *,
+                        scale, heads, head_dim, n_kv):
+    """COMBINED packed backward (round 3): one score/dp recompute feeds
+    dk/dv AND dq.  The split dq/dkv passes each recompute the (Lq, Lkv)
+    score and dp GEMMs — at the level-0 training shape that duplication is
+    ~8.8 ms of MXU work and a second full exp2/ds VPU sweep per call
+    (device trace, BENCH_NOTES round 3).  Grid (N, n_kv) with the kv axis
+    sequential ('arbitrary'): each cell emits its dk/dv block and folds its
+    dq contribution into a per-head f32 VMEM accumulator, stored once at
+    the last kv block.
+
+    Same orientation/schedule tricks as the split passes: transposed scores
+    (KV rows on the GEMM M axis), head loop software-pipelined, all output
+    GEMMs computed (D, L) so head_dim=40 rides the 8-row M axis."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    qa = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    do = do_ref[0]
+    ka = k_ref[0]
+    va = v_ref[0]
+
+    def qk_dp(h):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s2t = jax.lax.dot_general(ka[:, sl], qa[:, sl], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dpt = jax.lax.dot_general(va[:, sl], do[:, sl], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return s2t, dpt
+
+    dks, dvs = [], []
+    s2t, dpt = qk_dp(0)
+    for h in range(heads):
+        nxt = qk_dp(h + 1) if h + 1 < heads else None
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        # ±100 clamp: see _packed_dq_kernel (forward static-shift parity)
+        pt = jnp.exp2(jnp.clip(s2t, -100.0, 100.0)
+                      - lse2_ref[0, h:h + 1, :])  # (bk, Lqp)
+        dv_t = jax.lax.dot_general(
+            do[:, sl], pt.astype(do.dtype), (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (D, bk)
+        dvs.append(dv_t.T.astype(dv_ref.dtype))
+        dst = (pt * (dpt - delta_ref[0, h:h + 1, :]) * _LN2).astype(qa.dtype)
+        dk_t = jax.lax.dot_general(
+            qa[:, sl], dst, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (D, bk)
+        dks.append(dk_t.T.astype(dk_ref.dtype))
+        # dq contribution of this kv block, reusing the SAME bf16 dst the dk
+        # GEMM consumes (one cast pass): dst = ds_nat^T·ln2 against unscaled
+        # k gives ln2·(ds_nat @ k)^T — the constant scale/ln2 is applied
+        # once at store time instead of re-scaling ds per block
+        dq_acc[h] += jax.lax.dot_general(
+            ka[:, sl], dst, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (D, Lqp)
+        if nxt is not None:
+            s2t, dpt = nxt
+    dk_ref[0] = jnp.concatenate(dks, axis=-1)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1)
+
+    @pl.when(j == n_kv - 1)
+    def _store_dq():
+        c = scale / _LN2
+        outs = [(dq_acc[h] * c).T.astype(dq_ref.dtype) for h in range(heads)]
+        dq_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
 def _bwd_blocks_packed(Lq, Lkv, HD, heads):
     """(bq for the dq pass, bk for the dkv pass) under the scoped-VMEM
     budget: two f32 score temporaries per in-flight head + the whole
@@ -996,6 +1066,55 @@ def _flash_bwd_packed(q, k, v, do, out, lse, scale, heads, interpret=False,
         dimension_semantics=("parallel", "parallel"),
         vmem_limit_bytes=64 * 1024 * 1024,
     )
+    if bias is None:
+        # combined one-pass backward: the score/dp recompute is shared
+        # between dq and dk/dv (the split passes below each redo it)
+        budget = 40 * 1024 * 1024
+        fixed = (3 * 2 * Lqp * HD * 2 + HD * Lqp * 4
+                 + 4 * heads * Lqp * 4)
+        per_row = 16 * Lqp + 4 * HD * 2
+        cap = min(1152, _round_up(Lkv, 128))
+        bkc = min(cap, max(0, ((budget - fixed) // per_row) // 128 * 128))
+        lkvp2 = _round_up(Lkv, 128)
+        bkc2 = 0
+        for bb in range(bkc, 127, -128):
+            if lkvp2 % bb == 0:
+                bkc2 = bb
+                break
+        if bkc2:
+            kp2 = _pad_to(k, 1, bkc2)
+            vp2 = _pad_to(v, 1, bkc2)
+            Lkvp2 = kp2.shape[1]
+            dk, dv, dq = pl.pallas_call(
+                functools.partial(_packed_dqkv_kernel, scale=scale,
+                                  heads=heads, head_dim=D,
+                                  n_kv=Lkvp2 // bkc2),
+                out_shape=(jax.ShapeDtypeStruct(kp2.shape, k.dtype),
+                           jax.ShapeDtypeStruct(vp2.shape, v.dtype),
+                           jax.ShapeDtypeStruct(qp.shape, q.dtype)),
+                grid=(N, Lkvp2 // bkc2),
+                in_specs=[
+                    pl.BlockSpec((1, Lqp, HD), lambda b, j: (b, 0, 0)),
+                    pl.BlockSpec((1, Lqp, HD), lambda b, j: (b, 0, 0)),
+                    pl.BlockSpec((1, heads, Lqp), lambda b, j: (b, 0, 0)),
+                    pl.BlockSpec((1, heads, Lqp), lambda b, j: (b, 0, 0)),
+                    pl.BlockSpec((1, bkc2, HD), lambda b, j: (b, j, 0)),
+                    pl.BlockSpec((1, bkc2, HD), lambda b, j: (b, j, 0)),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, bkc2, HD), lambda b, j: (b, j, 0)),
+                    pl.BlockSpec((1, bkc2, HD), lambda b, j: (b, j, 0)),
+                    pl.BlockSpec((1, Lqp, HD), lambda b, j: (b, 0, 0)),
+                ),
+                scratch_shapes=[pltpu.VMEM((heads, D, Lqp), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary"),
+                    vmem_limit_bytes=64 * 1024 * 1024,
+                ),
+                interpret=interpret,
+            )(qp, dop, lse2_row, delta_row, kp2, vp2)
+            return dq[:, :Lq], dk[:, :Lkv], dv[:, :Lkv]
+
     dq_inputs = [qp, kp, vp, dop, lse2_col, delta_col]
     dq_specs = [
         pl.BlockSpec((1, bq, HD), lambda b, i: (b, i, 0)),
