@@ -217,6 +217,89 @@ def _ff_pallas(x, gamma, beta, wp, bp, wo, bo, eps, interpret=False):
     return out[:T]
 
 
+def _gelu_and_grad(z):
+    """(gelu(z), gelu'(z)) in f32: Phi(z) + z*phi(z)."""
+    Phi = 0.5 * (1.0 + _erf(z * np.float32(2 ** -0.5)))
+    phi = jnp.exp(-0.5 * z * z) * np.float32(1.0 / np.sqrt(2.0 * np.pi))
+    return z * Phi, Phi + z * phi
+
+
+def _ff_bwd_kernel(x_ref, g_ref, gam_ref, bet_ref, wp_ref, bp_ref, wo_ref,
+                   dx_ref, *, inner, eps):
+    """dx of the whole-FF block in ONE row-block pass (round 3): recompute
+    LN/proj/gate in VMEM, then dgated = g@wo^T, gate backward, dh2@wp^T and
+    the LayerNorm backward — the (T, 2I) h2 tensor (~700 MB at the level-0
+    training shape) never exists in HBM in the backward either.  Parameter
+    grads are NOT computed here: the caller emits them as separate XLA ops
+    so the frozen fine-tune (stop_gradient on FF params,
+    train_finetune_videodiffusion.py:142-146) dead-code-eliminates them."""
+    x = x_ref[...].astype(jnp.float32)  # (bm, C)
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    gam = gam_ref[...].astype(jnp.float32)
+    xn = (xhat * gam + bet_ref[...].astype(jnp.float32)).astype(wp_ref.dtype)
+    h2 = jax.lax.dot(xn, wp_ref[...], preferred_element_type=jnp.float32)
+    h2 = h2 + bp_ref[...].astype(jnp.float32)
+    hv = h2[:, :inner]
+    gv = h2[:, inner:]
+    gelug, dgelu = _gelu_and_grad(gv)
+
+    g = g_ref[...]  # (bm, C) cotangent of (x + FF(LN(x)))
+    # dgated = g @ wo^T: contract the C axis of both operands
+    dgated = jax.lax.dot_general(
+        g, wo_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (bm, I)
+    dh = dgated * gelug
+    dgate = dgated * hv * dgelu
+    dh2 = jnp.concatenate([dh, dgate], axis=1).astype(wp_ref.dtype)
+    # d(xn*gamma+beta) = dh2 @ wp^T
+    dxa = jax.lax.dot_general(
+        dh2, wp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (bm, C)
+    dxn = dxa * gam
+    # LayerNorm backward (no-affine part)
+    m1 = jnp.mean(dxn, axis=1, keepdims=True)
+    m2 = jnp.mean(dxn * xhat, axis=1, keepdims=True)
+    dx = rstd * (dxn - m1 - xhat * m2)
+    dx_ref[...] = (g.astype(jnp.float32) + dx).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _ff_bwd_pallas(x, g, gamma, beta, wp, bp, wo, eps, interpret=False):
+    T, C = x.shape
+    inner = wo.shape[0]
+    bm = _ff_row_block(T)
+    Tp = -(-T // bm) * bm
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+        g = jnp.pad(g, ((0, Tp - T), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_ff_bwd_kernel, inner=inner, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((Tp, C), x.dtype),
+        grid=(Tp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, C), lambda i: (i, 0)),
+            pl.BlockSpec((bm, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, 2 * inner), lambda i: (0, 0)),
+            pl.BlockSpec((1, 2 * inner), lambda i: (0, 0)),
+            pl.BlockSpec((inner, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, C), lambda i: (i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, g, gamma.reshape(1, C), beta.reshape(1, C), wp,
+      bp.reshape(1, 2 * inner), wo)
+    return out[:T]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _ff_fused(x, gamma, beta, wp, bp, wo, bo, eps):
     interpret = jax.default_backend() != "tpu"
@@ -229,8 +312,18 @@ def _ff_fused_fwd(x, gamma, beta, wp, bp, wo, bo, eps):
 
 
 def _ff_fused_bwd(eps, res, g):
-    _, vjp = jax.vjp(lambda *a: _ff_ref(*a, eps), *res)
-    return vjp(g)
+    x, gamma, beta, wp, bp, wo, bo = res
+    interpret = jax.default_backend() != "tpu"
+    # dx through the Pallas kernel; parameter grads as separate XLA ops so
+    # the frozen path DCEs them (and dbo is just the row-sum of g)
+    dx = _ff_bwd_pallas(x, g, gamma, beta, wp, bp, wo, eps,
+                        interpret=interpret)
+    _, vjp = jax.vjp(
+        lambda gam, be, wp_, bp_, wo_, bo_: _ff_ref(x, gam, be, wp_, bp_,
+                                                    wo_, bo_, eps),
+        gamma, beta, wp, bp, wo, bo)
+    dgamma, dbeta, dwp, dbp, dwo, dbo = vjp(g)
+    return dx, dgamma, dbeta, dwp, dbp, dwo, dbo
 
 
 _ff_fused.defvjp(_ff_fused_fwd, _ff_fused_bwd)
