@@ -192,6 +192,12 @@ class ResnetBlock3D(nn.Module):
         # XLA reorganizes the remat/backward fusions around the custom
         # call; device trace, BENCH_NOTES round 2), so training keeps the
         # all-XLA path.
+        # (Routing the training-graph skip-concat conv1s (cin > cout) through
+        # the kernel was tried in round 3 — XLA's 27 TF/s emitter for them
+        # suggested a 2.4x win — but measured 1032 -> 1046 ms/step: the
+        # by-dy Cin=960 slab rebuild runs ~4.3 ms/call in the training graph
+        # and XLA regroups the displaced stats fusions.  Reverted; details
+        # in BENCH_NOTES round 3.)
         use1 = not train and _conv_eligible(hh, ww, in_features,
                                             self.features, self.dtype)
         use2 = not train and _conv_eligible(hh, ww, self.features,

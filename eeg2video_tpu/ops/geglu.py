@@ -109,6 +109,51 @@ def _geglu_pallas(h2, w, b, interpret=False):
     return out[:T]
 
 
+def _geglu_bwd_kernel(h2_ref, g_ref, w_ref, dh2_ref, *, inner):
+    """dh2 of the gate->GEMM in one row-block pass: recompute the gate chain
+    from the VMEM-resident h2 block, dgated = g @ w^T, gate backward —
+    no HBM dgated/gated intermediates (177 MB each at the 1280-wide
+    training level).  dw/db stay XLA ops outside (DCE'd when frozen)."""
+    h2 = h2_ref[...]
+    hv = h2[:, :inner].astype(jnp.float32)
+    gv = h2[:, inner:].astype(jnp.float32)
+    gelug, dgelu = _gelu_and_grad(gv)
+    dgated = jax.lax.dot_general(
+        g_ref[...], w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (bm, I)
+    dh = dgated * gelug
+    dgate = dgated * hv * dgelu
+    dh2_ref[...] = jnp.concatenate([dh, dgate], axis=1).astype(dh2_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _geglu_bwd_pallas(h2, g, w, interpret=False):
+    T, two_i = h2.shape
+    inner, C = w.shape
+    bm = min(256, _row_block(T, inner))
+    Tp = -(-T // bm) * bm
+    if Tp != T:
+        h2 = jnp.pad(h2, ((0, Tp - T), (0, 0)))
+        g = jnp.pad(g, ((0, Tp - T), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_geglu_bwd_kernel, inner=inner),
+        out_shape=jax.ShapeDtypeStruct((Tp, two_i), h2.dtype),
+        grid=(Tp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, two_i), lambda i: (i, 0)),
+            pl.BlockSpec((bm, C), lambda i: (i, 0)),
+            pl.BlockSpec((inner, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, two_i), lambda i: (i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(h2, g, w)
+    return out[:T]
+
+
 @jax.custom_vjp
 def _geglu_fused(h2, w, b):
     interpret = jax.default_backend() != "tpu"
@@ -121,8 +166,12 @@ def _geglu_fused_fwd(h2, w, b):
 
 def _geglu_fused_bwd(res, g):
     h2, w, b = res
-    _, vjp = jax.vjp(_geglu_ref, h2, w, b)
-    return vjp(g)
+    interpret = jax.default_backend() != "tpu"
+    dh2 = _geglu_bwd_pallas(h2, g, w, interpret=interpret)
+    # dw/db as separate XLA ops: DCE'd on the frozen fine-tune path
+    _, vjp = jax.vjp(lambda w_, b_: _geglu_ref(h2, w_, b_), w, b)
+    dw, db = vjp(g)
+    return dh2, dw, db
 
 
 _geglu_fused.defvjp(_geglu_fused_fwd, _geglu_fused_bwd)
