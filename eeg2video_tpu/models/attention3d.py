@@ -20,6 +20,7 @@ Activations are (B, F, L, C) where L = H*W spatial tokens.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -146,6 +147,79 @@ class SparseCausalAttention(nn.Module):
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
 
+def _temporal_math(qs, ks, vs, scale):
+    """Rowwise F x F attention math on (B, F, L, H, D) slices (see
+    TemporalAttentionUnrolled).  Returns (out, probs)."""
+    f = qs.shape[1]
+    rows = []
+    for fi in range(f):
+        qf = qs[:, fi].astype(jnp.float32) * scale
+        rows.append(jnp.stack(
+            [jnp.sum(qf * ks[:, gi].astype(jnp.float32), axis=-1)
+             for gi in range(f)], axis=-1))  # (B, L, H, F)
+    logits = jnp.stack(rows, axis=-2)  # (B, L, H, F, F)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pv = probs.astype(vs.dtype)
+    outs = []
+    for fi in range(f):
+        acc = 0.0
+        for gi in range(f):
+            acc = acc + pv[..., fi, gi, None] * vs[:, gi]
+        outs.append(acc)  # (B, L, H, D)
+    return jnp.stack(outs, axis=1), probs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _temporal_core(qs, ks, vs, scale):
+    return _temporal_math(qs, ks, vs, scale)[0]
+
+
+def _temporal_core_fwd(qs, ks, vs, scale):
+    out, _ = _temporal_math(qs, ks, vs, scale)
+    return out, (qs, ks, vs)
+
+
+def _temporal_core_bwd(scale, res, dout):
+    """Hand-derived backward in the same rowwise style as the forward.
+    Autodiff of the stacked/broadcast forward materializes ~0.9 ms
+    pad+add gradient accumulations of every (B, F, L, H, D) stack slice
+    (training-step device trace, BENCH_NOTES round 3); the manual form is
+    the textbook attention vjp: dp = <dout, v>, dL = p(dp - rowsum(p dp)),
+    dq/dk/dv as rowwise FMAs."""
+    qs, ks, vs = res
+    f = qs.shape[1]
+    _, probs = _temporal_math(qs, ks, vs, scale)
+    # dp[..., fi, gi] = <dout_fi, v_gi>
+    dp = jnp.stack(
+        [jnp.stack([jnp.sum(dout[:, fi].astype(jnp.float32)
+                            * vs[:, gi].astype(jnp.float32), axis=-1)
+                    for gi in range(f)], axis=-1)
+         for fi in range(f)], axis=-2)  # (B, L, H, F, F)
+    dL = probs * (dp - jnp.sum(probs * dp, axis=-1, keepdims=True))
+    dLc = (dL * scale).astype(qs.dtype)
+    pv = probs.astype(vs.dtype)
+    dq, dk, dv = [], [], []
+    for fi in range(f):
+        accq = 0.0
+        for gi in range(f):
+            accq = accq + dLc[..., fi, gi, None] * ks[:, gi]
+        dq.append(accq)
+    for gi in range(f):
+        acck = 0.0
+        accv = 0.0
+        for fi in range(f):
+            acck = acck + dLc[..., fi, gi, None] * qs[:, fi]
+            accv = accv + pv[..., fi, gi, None] * dout[:, fi]
+        dk.append(acck)
+        dv.append(accv)
+    return (jnp.stack(dq, axis=1).astype(qs.dtype),
+            jnp.stack(dk, axis=1).astype(ks.dtype),
+            jnp.stack(dv, axis=1).astype(vs.dtype))
+
+
+_temporal_core.defvjp(_temporal_core_fwd, _temporal_core_bwd)
+
+
 class TemporalAttentionUnrolled(nn.Module):
     """Frame-axis self-attention with the F loop unrolled (F is 6).
 
@@ -172,25 +246,9 @@ class TemporalAttentionUnrolled(nn.Module):
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
         split = lambda t: t.reshape(b, f, l, self.heads, self.head_dim)
         qs, ks, vs = split(q), split(k), split(v)
-        scale = 1.0 / np.sqrt(self.head_dim)
-
-        # logits[fi][gi] : (B, L, H) rowwise dots over D
-        rows = []
-        for fi in range(f):
-            qf = qs[:, fi].astype(jnp.float32) * scale
-            rows.append(jnp.stack(
-                [jnp.sum(qf * ks[:, gi].astype(jnp.float32), axis=-1)
-                 for gi in range(f)], axis=-1))  # (B, L, H, F)
-        logits = jnp.stack(rows, axis=-2)  # (B, L, H, F, F)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-
-        outs = []
-        for fi in range(f):
-            acc = 0.0
-            for gi in range(f):
-                acc = acc + probs[..., fi, gi, None] * vs[:, gi]
-            outs.append(acc)  # (B, L, H, D)
-        out = jnp.stack(outs, axis=1).reshape(b, f, l, inner)
+        scale = float(1.0 / np.sqrt(self.head_dim))
+        # rowwise F x F math with a hand-written vjp (_temporal_core)
+        out = _temporal_core(qs, ks, vs, scale).reshape(b, f, l, inner)
         return nn.Dense(c, kernel_init=nn.initializers.zeros,
                         dtype=self.dtype, name="to_out")(out)
 
