@@ -121,17 +121,19 @@ class SparseCausalAttention(nn.Module):
             if m == 0:
                 return nn.Dense(c, dtype=self.dtype, name="to_out")(out01)
             qr = qf[:, 2:].reshape(b * m, l, inner)
-            if not train:
+            if bias is None or not train:
                 # dual-KV kernel: frame-0 KV passed ONCE per batch element
-                # (BlockSpec-indexed), no (b*m, 2l, H*D) HBM concats
+                # (BlockSpec-indexed), no (b*m, 2l, H*D) HBM concats.  The
+                # unbiased path has the full dual backward (two combined-
+                # kernel calls, frames folded into the query axis for dk0)
                 outr = fused_attention_dual(
                     qr, kf[:, 0], vf[:, 0],
                     kf[:, 1:-1].reshape(b * m, l, inner),
                     vf[:, 1:-1].reshape(b * m, l, inner),
                     self.heads, m=m, bias0=bias)
             else:
-                # training keeps the explicit concat: its packed flash
-                # backward is complete (dq/dkv/dbias Pallas passes)
+                # biased TRAINING keeps the explicit concat: its packed
+                # flash backward is complete (dq/dkv/dbias Pallas passes)
                 k0r = jnp.broadcast_to(kf[:, :1], (b, m, l, inner))
                 v0r = jnp.broadcast_to(vf[:, :1], (b, m, l, inner))
                 kg = jnp.concatenate([k0r, kf[:, 1:-1]], axis=2).reshape(b * m, 2 * l, inner)

@@ -17,18 +17,26 @@ Design (shapes in this domain: Lq <= 2304, Lkv <= 4608, D in {40, 80, 160}):
   multiples with explicit masking of out-of-range KV columns.
 - Short sequences (cross-attn Lkv=77, temporal L=6) go through the XLA path:
   at those sizes the fusion win is zero and the XLA kernel is optimal.
-- Training: full Pallas flash backward (custom_vjp) — a dq pass and a
-  dk/dv pass recompute probabilities from the saved log-sum-exp residual, so
-  the (Lq, Lkv) probability matrix never hits HBM in either direction.  At
-  the reference's training batch (10 clips x 6 frames,
+- Training: full Pallas flash backward (custom_vjp) recomputing
+  probabilities from the saved log-sum-exp residual, so the (Lq, Lkv)
+  probability matrix never hits HBM in either direction.  At the
+  reference's training batch (10 clips x 6 frames,
   train_finetune_videodiffusion.py:77) an XLA-recompute backward would need
   ~10 GB of transient probabilities at level-0 shapes and OOM one v5e.
-  The packed path keeps the backward channels-minor too (_flash_bwd_packed):
-  whole-KV cells, base-2 probability recompute against the prescaled lse,
-  transposed dk/dv GEMMs — no D 40->128 HBM pads, no L<->H transposes
-  (which made the round-1 (B,H,L,D) backward 46 ms/call at level-0 training
-  shapes; the packed dkv+dq run the same call in 19.6+15.5 ms, near the
-  serial-MXU bound, and the whole step's flash backward in ~215 ms).
+  The packed path keeps the backward channels-minor too: whole-KV cells,
+  base-2 probability recompute against the prescaled lse, transposed dk/dv
+  GEMMs — no D 40->128 HBM pads, no L<->H transposes (the round-1
+  (B,H,L,D) backward ran 46 ms/call at level-0 training shapes).  Round 3
+  COMBINED the dq and dk/dv passes into one kernel (_packed_dqkv_kernel):
+  the score/dp recompute is shared, dq accumulates in per-head f32 VMEM
+  scratch across KV blocks (33.2 -> 20.8 ms/call at level 0); the split
+  passes remain for the biased variant (with the dbias output) and as the
+  VMEM-overflow fallback.
+- Sparse-causal attention runs DUAL-KV end to end (fused_attention_dual):
+  frame-0 K/V enter once per batch element via BlockSpec indexing instead
+  of a (b*(f-2), 2l, H*D) HBM concat; the backward is two combined-kernel
+  calls — previous-frame half block-diagonal, frame-0 half with the m
+  frames folded into the query axis so dk0/dv0 accumulate in-kernel.
 """
 
 from __future__ import annotations
@@ -283,6 +291,7 @@ def _flash_bwd(q, k, v, do, lse, delta, scale, interpret=False):
     # delta lane-replicated + padded like lse; lse comes from the forward at
     # its own block_q padding — re-pad to this pass's Lqp if needed
     lse = lse[:, :Lqp] if lse.shape[1] >= Lqp else _pad_to(lse, 1, block_q)
+    lse = lse[:, :Lqp]
     deltap = jnp.zeros((bh, Lqp), jnp.float32).at[:, :Lq].set(
         delta.reshape(bh, Lq))
     deltap = jnp.broadcast_to(deltap[:, :, None], (bh, Lqp, 128))
@@ -555,7 +564,8 @@ def _packed_kernel(q_ref, k_ref, v_ref, *rest,
 
 
 def _packed_dual_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, *rest,
-                        scale, heads, head_dim, kv_len, with_bias):
+                        scale, heads, head_dim, kv_len, with_bias,
+                        with_lse=False):
     """Sparse-causal dual-KV specialization: softmax over the union of a
     SHARED frame-0 KV block (one copy per batch element, indexed n//m by the
     BlockSpec) and a per-frame previous-frame KV block — the reference's
@@ -570,8 +580,10 @@ def _packed_dual_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, *rest,
     the previous-frame half unmasked — the reference's F.pad quirk
     (attention.py:318-321)."""
     if with_bias:
-        bias_ref, o_ref = rest
+        bias_ref, *rest = rest
         brow = bias_ref[0, 0, :].astype(jnp.float32)[None, :] * _LOG2E
+    if with_lse:
+        o_ref, lse_ref = rest
     else:
         (o_ref,) = rest
 
@@ -599,7 +611,7 @@ def _packed_dual_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, *rest,
             s1 = jnp.where(col < kv_len, s1, DEFAULT_MASK_VALUE)
         return s0, s1
 
-    outs = []
+    outs, lses = [], []
     s0, s1 = qk(0)
     for h in range(heads):
         nxt = qk(h + 1) if h + 1 < heads else None
@@ -615,24 +627,31 @@ def _packed_dual_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, *rest,
             v1[:, sl], p1.astype(v1.dtype), (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (D, bq)
         outs.append((pv_t / l[:, 0][None, :]).T.astype(o_ref.dtype))
+        if with_lse:
+            # natural-log residual, zero shift (static-shift softmax)
+            lses.append(jnp.broadcast_to(
+                jnp.log(l)[:, 0][None, :], (8, qa.shape[0])))
         if nxt is not None:
             s0, s1 = nxt
     o_ref[0] = jnp.concatenate(outs, axis=-1)
+    if with_lse:
+        lse_ref[0] = jnp.stack(lses, axis=0)  # (H, 8, block_q)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "m",
-                                             "interpret"))
+                                             "interpret", "return_lse"))
 def _flash_dual_fwd_packed(q, k0, v0, k1, v1, heads, scale, m,
-                           interpret=False, bias0=None):
+                           interpret=False, bias0=None, return_lse=False):
     """q/k1/v1 (N, L, H*D) with N = b*m; k0/v0 (b, L, H*D) shared per batch
-    element across its m frames.  Inference path only (no lse residual)."""
+    element across its m frames.  ``return_lse`` adds the (N, H, 8, Lqp)
+    natural-log residual for the backward."""
     N, Lq, HD = q.shape
     Lkv = k0.shape[1]
     D = HD // heads
     # same whole-KV q-block sizing as the single-block kernel, with the
     # combined two-half KV width
     lkvp = _round_up(Lkv, 128)
-    block_q, _ = _blocks_packed(Lq, 2 * lkvp, HD, heads, False)
+    block_q, _ = _blocks_packed(Lq, 2 * lkvp, HD, heads, return_lse)
     qp = _pad_to(q, 1, block_q)
     k0p = _pad_to(k0, 1, 128)
     v0p = _pad_to(v0, 1, 128)
@@ -656,20 +675,30 @@ def _flash_dual_fwd_packed(q, k0, v0, k1, v1, heads, scale, m,
         inputs.append(bp)
         in_specs.append(pl.BlockSpec((1, 1, lkvp), lambda n, i: (n // m, 0, 0)))
 
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((N, Lqp, HD), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, HD), lambda n, i: (n, i, 0))]
+    if return_lse:
+        out_shape.append(jax.ShapeDtypeStruct((N, heads, 8, Lqp), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, heads, 8, block_q), lambda n, i: (n, 0, 0, i)))
+
+    res = pl.pallas_call(
         functools.partial(_packed_dual_kernel, scale=scale, heads=heads,
-                          head_dim=D, kv_len=Lkv, with_bias=bias0 is not None),
-        out_shape=jax.ShapeDtypeStruct((N, Lqp, HD), q.dtype),
+                          head_dim=D, kv_len=Lkv, with_bias=bias0 is not None,
+                          with_lse=return_lse),
+        out_shape=tuple(out_shape),
         grid=(N, n_q),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, HD), lambda n, i: (n, i, 0)),
+        out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)
-    return out[:, :Lq]
+    if return_lse:
+        return res[0][:, :Lq], res[1]
+    return res[0][:, :Lq]
 
 
 @functools.lru_cache(maxsize=None)
@@ -741,6 +770,55 @@ def _dual_cp(heads, head_dim, scale, m, with_bias, interpret):
     return f
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention_dual(q, k0, v0, k1, v1, heads, scale, m):
+    interpret = jax.default_backend() != "tpu"
+    return _dual_cp(heads, q.shape[-1] // heads, scale, m, False,
+                    interpret)(q, k0, v0, k1, v1)
+
+
+def _flash_attention_dual_fwd(q, k0, v0, k1, v1, heads, scale, m):
+    interpret = jax.default_backend() != "tpu"
+    out, lse = _flash_dual_fwd_packed(q, k0, v0, k1, v1, heads, scale, m,
+                                      interpret=interpret, return_lse=True)
+    return out, (q, k0, v0, k1, v1, out, lse[:, :, 0, :])
+
+
+def _flash_attention_dual_bwd(heads, scale, m, res, g):
+    """Dual-KV backward: ONE combined-kernel call over the concatenated
+    width, then a clean frame-sum/slice split of dkg/dvg.
+
+    The forward (and its remat recompute) never materializes the concat —
+    that was ~15 ms/step of kg/vg assembly at the reference training batch.
+    The backward builds it once: the score recompute must cover the full
+    [K0 | K_prev] width anyway, and two half-width calls were measured
+    WORSE (+25 ms/step: the frame-0 half either re-duplicates the score
+    recompute as split passes or blows the scoped-VMEM budget with m*Lq
+    query rows resident — both variants traced, BENCH_NOTES round 3).
+    dk0 = sum over the m frames of the frame-0 slice — one XLA reduce, not
+    the pad+add gradient chains of concat-in-model autodiff."""
+    q, k0, v0, k1, v1, out, lse = res
+    b = k0.shape[0]
+    N, Lq, HD = q.shape
+    Lkv = k0.shape[1]
+    interpret = jax.default_backend() != "tpu"
+    kg = jnp.concatenate(
+        [jnp.broadcast_to(k0[:, None], (b, m) + k0.shape[1:]
+                          ).reshape(N, Lkv, HD), k1], axis=1)
+    vg = jnp.concatenate(
+        [jnp.broadcast_to(v0[:, None], (b, m) + v0.shape[1:]
+                          ).reshape(N, Lkv, HD), v1], axis=1)
+    dq, dkg, dvg = _flash_bwd_packed(q, kg, vg, g, out, lse, scale, heads,
+                                     interpret=interpret)
+    dk0 = dkg[:, :Lkv].reshape(b, m, Lkv, HD).sum(axis=1).astype(k0.dtype)
+    dv0 = dvg[:, :Lkv].reshape(b, m, Lkv, HD).sum(axis=1).astype(v0.dtype)
+    return dq, dk0, dv0, dkg[:, Lkv:], dvg[:, Lkv:]
+
+
+_flash_attention_dual.defvjp(_flash_attention_dual_fwd,
+                             _flash_attention_dual_bwd)
+
+
 def fused_attention_dual(q, k0, v0, k1, v1, heads, m, scale=None, bias0=None):
     """Sparse-causal dual-KV attention: softmax over [K0 | K_prev] without
     materializing the concatenation.  q/k1/v1 (b*m, L, H*D), k0/v0
@@ -758,10 +836,13 @@ def fused_attention_dual(q, k0, v0, k1, v1, heads, m, scale=None, bias0=None):
     lkvp = _round_up(Lkv, 128)
     _, bk = _blocks_packed(q.shape[1], 2 * lkvp, q.shape[-1], heads, False)
     if q.shape[1] >= _FLASH_MIN_LQ and bk >= 2 * lkvp:
+        if bias0 is None:
+            # full custom_vjp: differentiable (training path)
+            return _flash_attention_dual(q, k0, v0, k1, v1, heads,
+                                         float(scale), m)
         interpret = jax.default_backend() != "tpu"
-        f = _dual_cp(heads, hd, float(scale), m, bias0 is not None, interpret)
-        return (f(q, k0, v0, k1, v1, bias0) if bias0 is not None
-                else f(q, k0, v0, k1, v1))
+        return _dual_cp(heads, hd, float(scale), m, True,
+                        interpret)(q, k0, v0, k1, v1, bias0)
     # fallback: explicit concat (the round-2 formulation)
     kg = jnp.concatenate(
         [jnp.broadcast_to(k0[:, None], (b, m) + k0.shape[1:]).reshape(b * m, Lkv, -1),
@@ -1056,7 +1137,11 @@ def _flash_bwd_packed(q, k, v, do, out, lse, scale, heads, interpret=False,
         (do.astype(jnp.float32) * out.astype(jnp.float32)
          ).reshape(N, Lq, heads, D), axis=-1)
     delta = _pad_to(delta, 1, bq)
-    lse = lse[:, :, :Lqp]
+    # the forward may have padded lse to a different block multiple (or the
+    # dual backward passes the exact-length residual): re-pad to this Lqp;
+    # zero rows are safe (padded q/do rows are zero, see kernel notes)
+    lse = (lse[:, :, :Lqp] if lse.shape[2] >= Lqp
+           else jnp.pad(lse, ((0, 0), (0, 0), (0, Lqp - lse.shape[2]))))
     lse2_col = (lse * _LOG2E).transpose(0, 2, 1)  # (N, Lqp, H) base-2
     delta_col = delta  # (N, Lqp, H)
     lse2_row = lse * _LOG2E  # (N, H, Lqp)
@@ -1064,12 +1149,19 @@ def _flash_bwd_packed(q, k, v, do, out, lse, scale, heads, interpret=False,
 
     cparams = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel"),
-        vmem_limit_bytes=64 * 1024 * 1024,
+        # 96M: the dual backward's frame-0 half folds m frames into the q
+        # axis (Lqp 9216 at level 0) and its dkv pass overflows the 64M
+        # scoped limit by ~0.4M; the chip carries 128M VMEM (~120M usable)
+        vmem_limit_bytes=96 * 1024 * 1024,
     )
     if bias is None:
         # combined one-pass backward: the score/dp recompute is shared
-        # between dq and dk/dv (the split passes below each redo it)
-        budget = 40 * 1024 * 1024
+        # between dq and dk/dv (the split passes below each redo it).
+        # The budget leans on the raised 96M scoped limit so the dual
+        # backward's FOLDED frame-0 half (Lqp = m*Lq, 9216 at level 0)
+        # still lands here — its split-pass fallback re-duplicates the
+        # score recompute and measured +25 ms/step (BENCH_NOTES round 3)
+        budget = 78 * 1024 * 1024
         fixed = (3 * 2 * Lqp * HD * 2 + HD * Lqp * 4
                  + 4 * heads * Lqp * 4)
         per_row = 16 * Lqp + 4 * HD * 2
@@ -1109,7 +1201,7 @@ def _flash_bwd_packed(q, k, v, do, out, lse, scale, heads, interpret=False,
                 scratch_shapes=[pltpu.VMEM((heads, D, Lqp), jnp.float32)],
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "arbitrary"),
-                    vmem_limit_bytes=64 * 1024 * 1024,
+                    vmem_limit_bytes=96 * 1024 * 1024,
                 ),
                 interpret=interpret,
             )(qp, dop, lse2_row, delta_row, kp2, vp2)
