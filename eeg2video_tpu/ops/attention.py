@@ -808,8 +808,8 @@ def _flash_attention_dual_bwd(heads, scale, m, res, g):
     vg = jnp.concatenate(
         [jnp.broadcast_to(v0[:, None], (b, m) + v0.shape[1:]
                           ).reshape(N, Lkv, HD), v1], axis=1)
-    dq, dkg, dvg = _flash_bwd_packed(q, kg, vg, g, out, lse, scale, heads,
-                                     interpret=interpret)
+    dq, dkg, dvg = _bwd_cp(heads, HD // heads, scale,
+                           interpret)(q, kg, vg, g, out, lse)
     dk0 = dkg[:, :Lkv].reshape(b, m, Lkv, HD).sum(axis=1).astype(k0.dtype)
     dv0 = dvg[:, :Lkv].reshape(b, m, Lkv, HD).sum(axis=1).astype(v0.dtype)
     return dq, dk0, dv0, dkg[:, Lkv:], dvg[:, Lkv:]
@@ -1453,6 +1453,67 @@ def _packed_cp(heads, head_dim, scale, return_lse, interpret):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _bwd_cp(heads, head_dim, scale, interpret):
+    """custom_partitioning for the packed flash BACKWARD (round 3): without
+    it a tp-sharded training step all-gathers q/k/v/do around every
+    backward pallas_call even though the forward partitions cleanly.  Batch
+    (n) and heads (h — dim 2 of the packed tensors, dim 1 of lse) shard;
+    lq/lkv/d replicate, exactly like the forward rule."""
+    from jax.experimental.custom_partitioning import (
+        CompoundFactor,
+        SdyShardingRule,
+        custom_partitioning,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def f(q, k, v, do, out, lse):
+        return _flash_bwd_packed(q, k, v, do, out, lse, scale, heads,
+                                 interpret=interpret)
+
+    def _shardings(mesh, q_sharding):
+        spec = getattr(q_sharding, "spec", P())
+        n_ax, c_ax = _spec_get(spec, 0), _spec_get(spec, 2)
+        tp = _axis_size(mesh, c_ax)
+        if heads % tp != 0:
+            c_ax, tp = None, 1
+        tok = NamedSharding(mesh, P(n_ax, None, c_ax))
+        lse_s = NamedSharding(mesh, P(n_ax, c_ax, None))
+        return tok, lse_s, tp
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        tok, _, _ = _shardings(mesh, arg_shapes[0].sharding)
+        return (tok, tok, tok)
+
+    def partition(mesh, arg_shapes, result_shape):
+        tok, lse_s, tp = _shardings(mesh, arg_shapes[0].sharding)
+
+        def lower_fn(q, k, v, do, out, lse):
+            return _flash_bwd_packed(q, k, v, do, out, lse, scale,
+                                     heads // tp, interpret=interpret)
+
+        return (mesh, lower_fn, (tok, tok, tok),
+                (tok, tok, tok, tok, tok, lse_s))
+
+    hd = CompoundFactor("h", "d")
+    operands = (("n", "lq", hd), ("n", "lkv", hd), ("n", "lkv", hd),
+                ("n", "lq", hd), ("n", "lq", hd), ("n", "h", "lqp"))
+    results = (("n", "lq", hd), ("n", "lkv", hd), ("n", "lkv", hd))
+    rule = SdyShardingRule(
+        operands, results,
+        # first-appearance order: lq < d < lkv < lqp
+        need_replication_factors=("lq", "d", "lkv", "lqp"),
+        d=head_dim,
+    )
+    f.def_partition(
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_attention_packed(q, k, v, heads, scale):
     interpret = jax.default_backend() != "tpu"
@@ -1470,11 +1531,12 @@ def _flash_attention_packed_fwd(q, k, v, heads, scale):
 
 def _flash_attention_packed_bwd(heads, scale, res, g):
     """Packed-layout Pallas backward — same channels-minor layout as the
-    forward, no D pads or L<->H transposes in the grad graph."""
+    forward, no D pads or L<->H transposes in the grad graph; partitioned
+    under GSPMD like the forward (_bwd_cp)."""
     q, k, v, out, lse = res
     interpret = jax.default_backend() != "tpu"
-    return _flash_bwd_packed(q, k, v, g, out, lse, scale, heads,
-                             interpret=interpret)
+    return _bwd_cp(heads, q.shape[-1] // heads, scale,
+                   interpret)(q, k, v, g, out, lse)
 
 
 _flash_attention_packed.defvjp(_flash_attention_packed_fwd,

@@ -65,6 +65,20 @@ def test_tp_sharded_flash_grad_matches(mesh, rng):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_tp_sharded_flash_grad_does_not_allgather(mesh, rng):
+    """Round 3: the BACKWARD is partitioned too (_bwd_cp) — a tp-sharded
+    training step must not all-gather around the grad pallas_calls."""
+    q, k, v = _inputs(rng)
+    sh = NamedSharding(mesh, P("dp", None, "tp"))
+
+    def loss(q, k, v):
+        return jnp.sum(fused_attention_packed(q, k, v, H) ** 2)
+
+    txt = (jax.jit(jax.grad(loss, (0, 1, 2)), in_shardings=(sh, sh, sh))
+           .lower(q, k, v).compile().as_text())
+    assert txt.count("all-gather") == 0, "flash backward replicated under tp"
+
+
 def test_odd_tp_falls_back_to_replicated_channels(mesh, rng):
     """heads=8 not divisible by a 3-way split can't happen on this mesh, but
     a sharding proposal that lands inside a head must be rejected: sharding
