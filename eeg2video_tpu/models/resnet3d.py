@@ -21,6 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.conv2d import (fused_conv3x3_t, fused_conv3x3_t_stats,
                           eligible as _conv_eligible)
@@ -238,6 +239,12 @@ class ResnetBlock3D(nn.Module):
             if temb is not None:
                 t = nn.Dense(self.features, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
                 h = h + t[:, None, None, None, :]
+            # saveable under the remat policy (unet3d remat_save_convs): the
+            # conv weights are frozen in the fine-tune, so recomputing the
+            # forward convs in the remat pass is pure waste — and XLA's
+            # TRAINING-graph emitter runs several of them at 27-70 TF/s
+            # (BENCH_NOTES round 3)
+            h = checkpoint_name(h, "resnet_conv")
 
         if use2:
             g2, bt2 = _GNParams(self.features, name="norm2")()
@@ -257,6 +264,7 @@ class ResnetBlock3D(nn.Module):
             h = nn.silu(h)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = PseudoConv3d(self.features, dtype=self.dtype, name="conv2")(h)
+            h = checkpoint_name(h, "resnet_conv")
 
         use_short = (
             in_features != self.features if self.use_in_shortcut is None else self.use_in_shortcut

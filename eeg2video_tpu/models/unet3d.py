@@ -82,6 +82,9 @@ class UNet3DConditionModel(nn.Module):
     # 0 = remat everywhere (the reference's uniform gradient checkpointing,
     # train L154-155).
     remat_min_hw: int = 0
+    # save resnet conv outputs inside remat'd blocks (HBM permitting)
+    # instead of recomputing the frozen-weight convs; see maybe_remat
+    remat_save_convs: bool = True
 
     @nn.compact
     def __call__(self, sample, timesteps, context, *, attention_mask=None,
@@ -117,7 +120,15 @@ class UNet3DConditionModel(nn.Module):
 
         def maybe_remat(mod_cls, hw):
             use = self.remat and hw >= self.remat_min_hw
-            return nn.remat(mod_cls, static_argnums=()) if use else mod_cls
+            if not use:
+                return mod_cls
+            # save the (frozen-weight) resnet conv outputs instead of
+            # recomputing them: the training-graph emitter runs several of
+            # those convs at 27-70 TF/s and their recompute is dead weight
+            # for the masked fine-tune (BENCH_NOTES round 3)
+            policy = (jax.checkpoint_policies.save_only_these_names(
+                "resnet_conv") if self.remat_save_convs else None)
+            return nn.remat(mod_cls, static_argnums=(), policy=policy)
 
         x = PseudoConv3d(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(sample)
 
