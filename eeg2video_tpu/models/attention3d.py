@@ -109,11 +109,22 @@ class SparseCausalAttention(nn.Module):
             # frames 0 and 1 both gather [K0, K0] (former_frame_index[0]=0,
             # L292-296) — duplicated keys give exactly the same softmax
             # average as K0 alone, so attend K0 only (1/3 less KV work).
-            q01 = qf[:, :2].reshape(b * 2, l, inner)
-            k0 = jnp.broadcast_to(kf[:, :1], (b, 2, l, inner)).reshape(b * 2, l, inner)
-            v0 = jnp.broadcast_to(vf[:, :1], (b, 2, l, inner)).reshape(b * 2, l, inner)
-            out01 = fused_attention_packed(q01, k0, v0, self.heads,
-                                           bias=rep(bias, 2))
+            if not train:
+                # both frames see the SAME keys, so they fold into the query
+                # axis (one (B, 2L) x (B, L) call): no broadcast-materialized
+                # K0/V0 copies, half the grid cells.  Inference-only: in the
+                # training graph the cross-frame fold costs more in backward
+                # lse/activation layout copies than it saves (device trace,
+                # BENCH_NOTES round 3).
+                q01 = qf[:, :2].reshape(b, 2 * l, inner)
+                out01 = fused_attention_packed(q01, kf[:, 0], vf[:, 0],
+                                               self.heads, bias=bias)
+            else:
+                q01 = qf[:, :2].reshape(b * 2, l, inner)
+                k0 = jnp.broadcast_to(kf[:, :1], (b, 2, l, inner)).reshape(b * 2, l, inner)
+                v0 = jnp.broadcast_to(vf[:, :1], (b, 2, l, inner)).reshape(b * 2, l, inner)
+                out01 = fused_attention_packed(q01, k0, v0, self.heads,
+                                               bias=rep(bias, 2))
             out01 = out01.reshape(b, 2, l, inner)
 
             # frames 2..F-1: K/V = concat(frame0, frame f-1) (L292-301)
@@ -357,12 +368,26 @@ class BasicTransformerBlock(nn.Module):
             x = x + SparseCausalAttention(self.heads, self.head_dim, dtype=self.dtype, name="attn1")(h, bias=attention_bias, train=train)
 
         if not KNOBS["disable_cross"]:
-            # cross-attention: context broadcast per frame (attention.py:94)
+            # cross-attention: the reference broadcasts the context per frame
+            # (attention.py:94) and attends (B*F, L) x (B*F, S).  Every query
+            # attends the SAME S tokens regardless of frame, so folding
+            # frames into the query axis — (B, F*L) x (B, S) — is the
+            # identical softmax row-for-row while (a) skipping the context
+            # repeat, (b) computing to_k/to_v once per batch element instead
+            # of once per frame, and (c) giving the flash kernel F x fewer,
+            # F x larger grid cells.
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-            ctx = jnp.repeat(context, f, axis=0)  # (B*F, S, D)
-            out = Attention(self.heads, self.head_dim, dtype=self.dtype, name="attn2")(
-                h.reshape(b * f, l, c), ctx
-            )
+            if not train:
+                out = Attention(self.heads, self.head_dim, dtype=self.dtype,
+                                name="attn2")(h.reshape(b, f * l, c), context)
+            else:
+                # training keeps the reference's per-frame layout: the folded
+                # (B, F*L) queries save the repeated to_k/to_v GEMMs but cost
+                # more in backward lse/activation layout copies (device
+                # trace, BENCH_NOTES round 3)
+                ctx = jnp.repeat(context, f, axis=0)  # (B*F, S, D)
+                out = Attention(self.heads, self.head_dim, dtype=self.dtype,
+                                name="attn2")(h.reshape(b * f, l, c), ctx)
             x = x + out.reshape(b, f, l, c)
 
         if not KNOBS["disable_ff"]:

@@ -85,6 +85,13 @@ class UNet3DConditionModel(nn.Module):
     # save resnet conv outputs inside remat'd blocks (HBM permitting)
     # instead of recomputing the frozen-weight convs; see maybe_remat
     remat_save_convs: bool = True
+    # save the flash-attention kernel outputs (out + lse, named "flash_out"
+    # in the custom_vjp fwd rules, ops/attention.py) inside remat'd blocks:
+    # the attention backward needs them as residuals anyway, so recomputing
+    # the forward kernels was ~60 ms/step of duplicate launches at the
+    # reference batch (device trace, BENCH_NOTES round 3); ~1.3 GB of HBM
+    # at batch 10
+    remat_save_attn: bool = True
 
     @nn.compact
     def __call__(self, sample, timesteps, context, *, attention_mask=None,
@@ -126,8 +133,13 @@ class UNet3DConditionModel(nn.Module):
             # recomputing them: the training-graph emitter runs several of
             # those convs at 27-70 TF/s and their recompute is dead weight
             # for the masked fine-tune (BENCH_NOTES round 3)
-            policy = (jax.checkpoint_policies.save_only_these_names(
-                "resnet_conv") if self.remat_save_convs else None)
+            names = ()
+            if self.remat_save_convs:
+                names += ("resnet_conv",)
+            if self.remat_save_attn:
+                names += ("flash_out", "ff_out")
+            policy = (jax.checkpoint_policies.save_only_these_names(*names)
+                      if names else None)
             return nn.remat(mod_cls, static_argnums=(), policy=policy)
 
         x = PseudoConv3d(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(sample)

@@ -46,6 +46,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -781,7 +782,9 @@ def _flash_attention_dual_fwd(q, k0, v0, k1, v1, heads, scale, m):
     interpret = jax.default_backend() != "tpu"
     out, lse = _flash_dual_fwd_packed(q, k0, v0, k1, v1, heads, scale, m,
                                       interpret=interpret, return_lse=True)
-    return out, (q, k0, v0, k1, v1, out, lse[:, :, 0, :])
+    out = checkpoint_name(out, "flash_out")  # see _flash_attention_packed_fwd
+    lse = checkpoint_name(lse[:, :, 0, :], "flash_out")
+    return out, (q, k0, v0, k1, v1, out, lse)
 
 
 def _flash_attention_dual_bwd(heads, scale, m, res, g):
@@ -1525,8 +1528,15 @@ def _flash_attention_packed_fwd(q, k, v, heads, scale):
     interpret = jax.default_backend() != "tpu"
     out, lse = _packed_cp(heads, q.shape[-1] // heads, scale, True,
                           interpret)(q, k, v)
-    # keep one sublane of the (N, H, 8, Lqp) replicated lse as the residual
-    return out, (q, k, v, out, lse[:, :, 0, :])
+    # keep one sublane of the (N, H, 8, Lqp) replicated lse as the residual.
+    # checkpoint_name marks the kernel outputs saveable under a remat policy
+    # (unet3d remat_save_attn): inside a jax.checkpoint'd block the fwd rule
+    # is what the bwd-side recompute re-traces, so saving (out, lse) elides
+    # the second flash-forward launch entirely — q/k/v (cheap GEMMs) still
+    # recompute.
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse[:, :, 0, :], "flash_out")
+    return out, (q, k, v, out, lse)
 
 
 def _flash_attention_packed_bwd(heads, scale, res, g):
@@ -1567,7 +1577,9 @@ def _flash_packed_biased_fwd(q, k, v, bias, heads, scale):
     interpret = jax.default_backend() != "tpu"
     out, lse = _flash_fwd_packed(q, k, v, heads, scale, interpret=interpret,
                                  return_lse=True, bias=bias)
-    return out, (q, k, v, bias, out, lse[:, :, 0, :])
+    out = checkpoint_name(out, "flash_out")  # see _flash_attention_packed_fwd
+    lse = checkpoint_name(lse[:, :, 0, :], "flash_out")
+    return out, (q, k, v, bias, out, lse)
 
 
 def _flash_packed_biased_bwd(heads, scale, res, g):

@@ -28,6 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -161,7 +162,10 @@ def _geglu_fused(h2, w, b):
 
 
 def _geglu_fused_fwd(h2, w, b):
-    return _geglu_fused(h2, w, b), (h2, w, b)
+    # named saveable under the unet3d remat policy (remat_save_attn): skips
+    # re-launching the forward kernel in the backward-side remat recompute
+    out = checkpoint_name(_geglu_fused(h2, w, b), "ff_out")
+    return out, (h2, w, b)
 
 
 def _geglu_fused_bwd(res, g):
@@ -356,8 +360,10 @@ def _ff_fused(x, gamma, beta, wp, bp, wo, bo, eps):
 
 
 def _ff_fused_fwd(x, gamma, beta, wp, bp, wo, bo, eps):
-    return _ff_fused(x, gamma, beta, wp, bp, wo, bo, eps), \
-        (x, gamma, beta, wp, bp, wo, bo)
+    # named saveable under the unet3d remat policy (remat_save_attn)
+    out = checkpoint_name(_ff_fused(x, gamma, beta, wp, bp, wo, bo, eps),
+                          "ff_out")
+    return out, (x, gamma, beta, wp, bp, wo, bo)
 
 
 def _ff_fused_bwd(eps, res, g):

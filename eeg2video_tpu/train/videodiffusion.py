@@ -85,6 +85,9 @@ class VideoDiffusionTrainConfig:
     # Measured at the reference batch-10 recipe: 256 (levels 2/3/mid saved)
     # = 1177 ms/step vs 1183 uniform; 600 (level 1 saved too) OOMs 16 GB.
     remat_min_hw: int = 256
+    # save flash-attention outputs in remat'd blocks instead of re-running
+    # the forward kernels in the backward recompute (see unet3d)
+    remat_save_attn: bool = True
     # False = reference freeze rule (only attn1.to_q/attn2.to_q/attn_temp,
     # train L142-146); True = full fine-tune (every parameter trainable)
     train_all: bool = False
@@ -147,7 +150,8 @@ def init_video_train_state(unet_params, cfg: VideoDiffusionTrainConfig):
 def _make_loss_fn(unet_config, vae_config, cfg):
     dtype = jnp.dtype(cfg.compute_dtype)
     unet = UNet3DConditionModel(unet_config, dtype=dtype, remat=cfg.remat,
-                                remat_min_hw=cfg.remat_min_hw)
+                                remat_min_hw=cfg.remat_min_hw,
+                                remat_save_attn=cfg.remat_save_attn)
     vae = AutoencoderKL(vae_config, dtype=dtype)
     ddpm = DDPMSchedule.create()
 
