@@ -109,11 +109,12 @@ class _ConvParams(nn.Module):
 
     in_features: int
     features: int
+    kernel_size: tuple = (3, 3)
 
     @nn.compact
     def __call__(self):
         return (self.param("kernel", nn.initializers.lecun_normal(),
-                           (3, 3, self.in_features, self.features)),
+                           self.kernel_size + (self.in_features, self.features)),
                 self.param("bias", nn.initializers.zeros_init(),
                            (self.features,)))
 
@@ -123,10 +124,12 @@ class _PseudoConvParams(nn.Module):
 
     in_features: int
     features: int
+    kernel_size: tuple = (3, 3)
 
     @nn.compact
     def __call__(self):
-        return _ConvParams(self.in_features, self.features, name="conv")()
+        return _ConvParams(self.in_features, self.features,
+                           kernel_size=self.kernel_size, name="conv")()
 
 
 def _gn_affine_from_stats(stats, b, f, hw, gamma, beta, groups, eps):
@@ -145,6 +148,38 @@ def _gn_affine_from_stats(stats, b, f, hw, gamma, beta, groups, eps):
     shift = (beta.astype(jnp.float32).reshape(groups, gpc)[None]
              - mean[:, :, None] * scale)
     return scale.reshape(b, c), shift.reshape(b, c)
+
+
+def _gn_affine_pair(x, skip, gamma, beta, groups, eps):
+    """GroupNorm affine of the logical concat([x, skip], channels) WITHOUT
+    materializing it: per-channel (sum, sum²) partials from each half are
+    concatenated at (B, C) size (tiny) and pooled into group stats.  Returns
+    the per-(image, channel) (scale, shift) split back per half."""
+    b, f, hh, ww, cx = x.shape
+    cs = skip.shape[-1]
+    c = cx + cs
+
+    def chan_sums(t):
+        tf32 = t.astype(jnp.float32)
+        return (jnp.sum(tf32, axis=(1, 2, 3)),
+                jnp.sum(jnp.square(tf32), axis=(1, 2, 3)))  # (B, C_half)
+
+    sx, sx2 = chan_sums(x)
+    ss, ss2 = chan_sums(skip)
+    s1 = jnp.concatenate([sx, ss], axis=-1).reshape(b, groups, c // groups)
+    s2 = jnp.concatenate([sx2, ss2], axis=-1).reshape(b, groups, c // groups)
+    cnt = f * hh * ww * (c // groups)
+    mean = jnp.sum(s1, axis=-1) / cnt  # (B, G)
+    var = jnp.sum(s2, axis=-1) / cnt - jnp.square(mean)
+    rstd = jax.lax.rsqrt(var + eps)
+    gpc = c // groups
+    scale = (gamma.astype(jnp.float32).reshape(groups, gpc)[None]
+             * rstd[:, :, None])
+    shift = (beta.astype(jnp.float32).reshape(groups, gpc)[None]
+             - mean[:, :, None] * scale)
+    scale = scale.reshape(b, c)
+    shift = shift.reshape(b, c)
+    return (scale[:, :cx], shift[:, :cx]), (scale[:, cx:], shift[:, cx:])
 
 
 def _gn_affine(x, gamma, beta, groups, eps):
@@ -182,8 +217,9 @@ class ResnetBlock3D(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, temb=None, *, train: bool = False):
-        in_features = x.shape[-1]
+    def __call__(self, x, temb=None, *, skip=None, train: bool = False):
+        cx = x.shape[-1]
+        in_features = cx + (skip.shape[-1] if skip is not None else 0)
         b, f, hh, ww, _ = x.shape
         # each GN->SiLU->conv chain dispatches independently (e.g. an
         # up-block's first resnet can have an ineligible 960-channel conv1
@@ -199,14 +235,67 @@ class ResnetBlock3D(nn.Module):
         # by-dy Cin=960 slab rebuild runs ~4.3 ms/call in the training graph
         # and XLA regroups the displaced stats fusions.  Reverted; details
         # in BENCH_NOTES round 3.)
-        use1 = not train and _conv_eligible(hh, ww, in_features,
-                                            self.features, self.dtype)
         use2 = not train and _conv_eligible(hh, ww, self.features,
                                             self.features, self.dtype)
         dt = self.dtype or x.dtype
         conv1_stats = None
 
-        if use1:
+        if skip is not None:
+            # ``skip`` is the up-block's lateral state, logically
+            # concat([x, skip], channels) (reference unet_blocks.py:442-444,
+            # 556-558).  Convs are linear in input channels and GN statistics
+            # pool per group, so the concat never needs to exist: norm1's
+            # affine comes from per-half (sum, sum²) partials and conv1 /
+            # conv_shortcut run as per-half convs summed.  The training
+            # graph otherwise materializes the (B,F,H,W,C_total) concat
+            # TWICE (different layouts for conv1 vs conv_shortcut) at
+            # ~0.86 ms each (device trace, BENCH_NOTES round 3).
+            g1, bt1 = _GNParams(in_features, name="norm1")()
+            wk1, wb1 = _PseudoConvParams(in_features, self.features,
+                                         name="conv1")()
+            (s1x, sh1x), (s1s, sh1s) = _gn_affine_pair(
+                x, skip, g1, bt1, self.groups, self.eps)
+            t = None
+            if temb is not None:
+                t = nn.Dense(self.features, dtype=self.dtype,
+                             name="time_emb_proj")(nn.silu(temb))
+            use1 = (not train
+                    and _conv_eligible(hh, ww, cx, self.features, self.dtype)
+                    and _conv_eligible(hh, ww, in_features - cx,
+                                       self.features, self.dtype))
+            if use1:
+                temb_row = (jnp.repeat(t.astype(jnp.float32), f, axis=0)
+                            if t is not None else None)
+                ha = fused_conv3x3_t(
+                    x.reshape(b * f, hh, ww, cx).astype(dt),
+                    wk1[:, :, :cx].astype(dt), wb1,
+                    jnp.repeat(s1x, f, axis=0), jnp.repeat(sh1x, f, axis=0),
+                    temb_row)
+                hb = fused_conv3x3_t(
+                    skip.reshape(b * f, hh, ww, in_features - cx).astype(dt),
+                    wk1[:, :, cx:].astype(dt), jnp.zeros_like(wb1),
+                    jnp.repeat(s1s, f, axis=0), jnp.repeat(sh1s, f, axis=0),
+                    None)
+                h = (ha + hb).reshape(b, f, hh, ww, self.features)
+            else:
+                def _half(tens, sc, sh, w_half):
+                    tf = (tens.astype(jnp.float32) * sc[:, None, None, None, :]
+                          + sh[:, None, None, None, :])
+                    tf = nn.silu(tf).astype(dt)
+                    folded = tf.reshape(b * f, hh, ww, tens.shape[-1])
+                    return jax.lax.conv_general_dilated(
+                        folded, w_half.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                h = (_half(x, s1x, sh1x, wk1[:, :, :cx])
+                     + _half(skip, s1s, sh1s, wk1[:, :, cx:]))
+                h = (h.astype(jnp.float32)
+                     + wb1.astype(jnp.float32)[None, None, None, :])
+                h = h.astype(dt).reshape(b, f, hh, ww, self.features)
+                if t is not None:
+                    h = h + t[:, None, None, None, :].astype(h.dtype)
+                h = checkpoint_name(h, "resnet_conv")
+        elif (use1 := not train and _conv_eligible(hh, ww, in_features,
+                                                   self.features, self.dtype)):
             g1, bt1 = _GNParams(in_features, name="norm1")()
             wk1, wb1 = _PseudoConvParams(in_features, self.features, name="conv1")()
             temb_row = None
@@ -269,7 +358,18 @@ class ResnetBlock3D(nn.Module):
         use_short = (
             in_features != self.features if self.use_in_shortcut is None else self.use_in_shortcut
         )
-        if use_short:
+        if skip is not None:
+            # per-half 1x1 shortcut on the un-concatenated operands (always
+            # present: the concat input width never equals the output width)
+            wks, wbs = _PseudoConvParams(in_features, self.features,
+                                         kernel_size=(1, 1),
+                                         name="conv_shortcut")()
+            x = (jnp.tensordot(x.astype(dt), wks[0, 0, :cx].astype(dt),
+                               axes=[[4], [0]])
+                 + jnp.tensordot(skip.astype(dt), wks[0, 0, cx:].astype(dt),
+                                 axes=[[4], [0]])
+                 + wbs.astype(dt))
+        elif use_short:
             x = PseudoConv3d(
                 self.features, kernel=(1, 1), padding=((0, 0), (0, 0)),
                 dtype=self.dtype, name="conv_shortcut",

@@ -113,8 +113,10 @@ class CrossAttnUpBlock3D(nn.Module):
         for i in range(self.n_layers):
             skip = skips[-1]
             skips = skips[:-1]
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name=f"resnet{i}")(x, temb, train=train)
+            # skip passed as a separate operand — ResnetBlock3D computes the
+            # exact concat([x, skip]) math from per-half convs/GN partials
+            # without materializing the concat (resnet3d.py)
+            x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name=f"resnet{i}")(x, temb, skip=skip, train=train)
             x = Transformer3DModel(
                 self.attn_heads, head_dim, groups=self.groups,
                 dtype=self.dtype, name=f"attn{i}"
@@ -141,8 +143,7 @@ class UpBlock3D(nn.Module):
         for i in range(self.n_layers):
             skip = skips[-1]
             skips = skips[:-1]
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name=f"resnet{i}")(x, temb, train=train)
+            x = ResnetBlock3D(self.features, groups=self.groups, eps=self.eps, dtype=self.dtype, name=f"resnet{i}")(x, temb, skip=skip, train=train)
         if self.add_upsample:
             x = Upsample3D(self.features, dtype=self.dtype, name="upsample")(x, upsample_size)
         return x
