@@ -46,6 +46,8 @@ COMMANDS = [
      "semantic emb (+ Seq2Seq/DANA latents) -> GIFs (--woSeq2Seq/--woDANA/--legacy)"),
     ("run_metrics", "40_class_run_metrics.py",
      "SSIM/PSNR/hue/MSE + CLIP/ViT/VideoMAE classification metrics"),
+    ("serve", "(no reference counterpart — TPU-native serving surface)",
+     "warm-pipeline JSONL generation service on stdin/stdout"),
 ]
 
 
