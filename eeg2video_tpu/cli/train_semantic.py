@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--hidden", type=int, default=10000)
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel shards")
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="int8 blockwise Adam moments: 4x less optimizer "
+                        "state/traffic for the 894M-param MLP (train/optim.py)")
     p.add_argument("--seed", type=int, default=114514)
     args = p.parse_args(argv)
 
@@ -50,7 +53,8 @@ def main(argv=None):
         eeg, text, scaler = prepare_semantic_data(feats, texts)
 
     cfg = SemanticTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
-                              lr=args.lr, hidden=args.hidden)
+                              lr=args.lr, hidden=args.hidden,
+                              use_8bit_adam=args.use_8bit_adam)
     variables, losses = train_semantic(eeg, text, cfg, seed=args.seed, tp=args.tp)
     ckpt.save_checkpoint(os.path.join(args.save_path, "ckpt"), args.epochs, variables)
     scaler.save(os.path.join(args.save_path, "scaler.npz"))

@@ -81,10 +81,13 @@ def apply_reference_config(args, cfg_yaml):
         raise SystemExit(
             "trainable_modules must be the reference mask "
             "attn1.to_q/attn2.to_q/attn_temp (train L72-76)")
-    for k in ("use_8bit_adam", "enable_xformers_memory_efficient_attention"):
-        if cfg_yaml.get(k):
-            log.info("config key %s has no TPU analog; ignored "
-                     "(PARITY.md 2.5)", k)
+    if cfg_yaml.get("enable_xformers_memory_efficient_attention"):
+        log.info("enable_xformers_memory_efficient_attention is implicit: "
+                 "attention always runs the Pallas flash kernels")
+    if "use_8bit_adam" in cfg_yaml:
+        # reference: bitsandbytes AdamW8bit (train L163-173); ours:
+        # int8 blockwise-quantized moments (train/optim.py)
+        args.use_8bit_adam = bool(cfg_yaml["use_8bit_adam"])
     return bool(cfg_yaml.get("gradient_checkpointing", True))
 
 
@@ -107,6 +110,9 @@ def main(argv=None):
     p.add_argument("--train_batch_size", type=int, default=10)
     p.add_argument("--learning_rate", type=float, default=3e-5)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="int8 blockwise Adam moments (reference "
+                        "use_8bit_adam / bitsandbytes AdamW8bit)")
     p.add_argument("--checkpointing_epochs", type=int, default=100)
     p.add_argument("--validation_epochs", type=int, default=100,
                    help="sample clips with the current params every N epochs "
@@ -131,6 +137,7 @@ def main(argv=None):
         learning_rate=args.learning_rate,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         remat=remat,
+        use_8bit_adam=args.use_8bit_adam,
     )
 
     # dataset: block-0 clips in presentation order + caption embeddings

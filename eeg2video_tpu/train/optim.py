@@ -1,0 +1,167 @@
+"""TPU-native 8-bit Adam/AdamW (optax-compatible).
+
+The reference offers bitsandbytes' ``AdamW8bit`` behind ``use_8bit_adam``
+(reference EEG2Video_New/Generation/train_finetune_videodiffusion.py:163-173)
+to shrink optimizer state; bitsandbytes is CUDA-only, so this is the
+TPU-native equivalent: both Adam moments are stored as int8, cutting the
+optimizer state and its HBM traffic 4x.
+
+Two deliberate departures from bitsandbytes' design, both driven by TPU
+layout/fusion behavior (device traces, BENCH_NOTES round 3):
+
+- **Per-row (last-axis) scales on the NATURAL param shape**, not flat 2048
+  blocks.  TPU arrays are tiled (8, 128); reshaping a (10000, 59136) leaf to
+  (nb, 2048) blocks physically re-tiles 2.4 GB twice per step — measured
+  ~10 ms per reshape on the 894M semantic MLP, twice the cost of the math it
+  feeds.  Row-granular scales keep every op on the leaf's native layout.
+- **EMA-bound scales, not exact post-update absmaxes.**  An exact scale
+  reduces over the NEW moment, which forces XLA to materialize the f32
+  moment to HBM between the update pass and the requantize pass.  Instead
+  the scale is the triangle-inequality bound ``b1*old_scale +
+  (1-b1)*absmax(g)/127`` (and its sqrt-space analog for v), so scale math
+  only reduces g and the dequant -> update -> requantize chain is a single
+  elementwise fusion per moment.  Costs <= 1 bit of quantization headroom;
+  exact at step 1.  (bitsandbytes instead pays a 256-entry dynamic-map
+  gather per element — cheap on CUDA, pathological on the TPU vector unit.)
+
+The second moment is quantized in sqrt-space (int8 of sqrt(v), squared on
+dequant): v spans the square of the dynamic range of g and sqrt halves it.
+Bias correction matches optax.scale_by_adam, so ``adam8bit``/``adamw8bit``
+are drop-in swaps; convergence parity is tested in tests/test_optim8bit.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class Adam8State(NamedTuple):
+    count: jnp.ndarray
+    mq: dict  # int8, same shape as the param
+    ms: dict  # f32 per-row scale, shape[:-1] + (1,)
+    vq: dict  # int8 of sqrt(v)
+    vs: dict  # f32 per-row scale for sqrt(v)
+
+
+def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999,
+                      eps: float = 1e-8) -> optax.GradientTransformation:
+    """scale_by_adam with int8 row-quantized moments."""
+
+    class _Pair(list):  # tree-map marker (plain tuples collide with
+        pass             # optax.masked's MaskedNode, an empty NamedTuple)
+
+    _is_pair = lambda t: isinstance(t, _Pair)
+
+    def init(params):
+        def per_leaf(p):
+            sshape = (p.shape[:-1] + (1,)) if p.ndim else (1,)
+            # scales start at 0 ("empty"): they are anchored bounds (see
+            # update) and a nonzero start would freeze the moments near zero
+            return _Pair([jnp.zeros(p.shape, jnp.int8),
+                          jnp.zeros(sshape, jnp.float32)])
+
+        pairs = jax.tree.map(per_leaf, params)
+        mq = jax.tree.map(lambda t: t[0], pairs, is_leaf=_is_pair)
+        ms = jax.tree.map(lambda t: t[1], pairs, is_leaf=_is_pair)
+        return Adam8State(count=jnp.zeros((), jnp.int32),
+                          mq=mq, ms=ms,
+                          vq=jax.tree.map(jnp.copy, mq),
+                          vs=jax.tree.map(jnp.copy, ms))
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def upd(g, mq, ms, vq, vs):
+            gf = g.astype(jnp.float32)
+            if not g.ndim:
+                gf = gf.reshape(1)
+            # m is stored as sign(m)*sqrt(|m|) (signed sqrt-space): linear
+            # int8 rounds coordinates below ~1/254 of the row max to zero
+            # and the resulting noise floor stalls convergence ~100x above
+            # f32 Adam (tests); sqrt-space trades 1.6% error at the row max
+            # for fine resolution near zero, like bitsandbytes' dynamic map
+            mq2 = mq.astype(jnp.float32) * ms
+            m = b1 * jnp.sign(mq2) * mq2 * mq2 + (1.0 - b1) * gf
+            vq4 = vq.astype(jnp.float32) * vs  # 4th-root-space value
+            vsq = vq4 * vq4
+            v = b2 * vsq * vsq + (1.0 - b2) * gf * gf
+            u = (m / c1) / (jnp.sqrt(v / c2) + eps)
+            gmax = jnp.max(jnp.abs(gf), axis=-1, keepdims=True)
+            # Scales are bounds anchored to the STORED old maxima: the exact
+            # row max of |m'| needs a reduce over the NEW moment (which
+            # forces XLA to materialize the f32 moment to HBM between the
+            # update and requantize passes — measured 2x slower than f32
+            # Adam), but max|m_old| is exactly (127-scaled) max|mq|, an int8
+            # reduce over an input already being read.  max|m'| <=
+            # b1*max|m_old| + (1-b1)*gmax re-anchors every step, so unlike a
+            # pure scale-EMA bound the slack does not compound (a scale-EMA
+            # steady state over-scales sqrt-space m by ~6x = 2.6 lost bits,
+            # and 4th-root-space v by ~700x — measured as a ~100x
+            # convergence floor on the toy problem).
+            m_oldmax = jnp.square(
+                jnp.max(jnp.abs(mq.astype(jnp.float32)), axis=-1,
+                        keepdims=True) * ms)
+            nms = jnp.sqrt(b1 * m_oldmax + (1.0 - b1) * gmax) / 127.0
+            nms = jnp.where(nms == 0.0, 1.0, nms)
+            nmq = jnp.clip(jnp.round(jnp.sign(m) * jnp.sqrt(jnp.abs(m))
+                                     / nms), -127.0, 127.0).astype(jnp.int8)
+            # v is stored in 4TH-ROOT space: with row-granular scales a
+            # linear (or even sqrt-space) code rounds any coordinate below
+            # ~1/254 of the row max to 0, and v=0 coordinates explode the
+            # m/(sqrt(v)+eps) update (observed as NaNs on the 894M semantic
+            # recipe).  In 4th-root space the zero threshold is (1/254)^4 ~
+            # 2e-10 of the row max — below anything Adam meaningfully
+            # divides by.
+            w_oldmax = (jnp.max(vq.astype(jnp.float32), axis=-1,
+                                keepdims=True) * vs)
+            v_oldmax = jnp.square(jnp.square(w_oldmax))
+            nvs = jnp.sqrt(jnp.sqrt(
+                b2 * v_oldmax + (1.0 - b2) * gmax * gmax)) / 127.0
+            nvs = jnp.where(nvs == 0.0, 1.0, nvs)
+            nvq = jnp.clip(jnp.round(jnp.sqrt(jnp.sqrt(v)) / nvs), 0.0,
+                           127.0).astype(jnp.int8)
+            return _Pair([u.reshape(g.shape).astype(g.dtype),
+                          nmq.reshape(g.shape), nms,
+                          nvq.reshape(g.shape), nvs])
+
+        out = jax.tree.map(upd, grads, state.mq, state.ms, state.vq, state.vs)
+        pick = lambda i: jax.tree.map(lambda t: t[i], out, is_leaf=_is_pair)
+        return pick(0), Adam8State(count=count, mq=pick(1), ms=pick(2),
+                                   vq=pick(3), vs=pick(4))
+
+    return optax.GradientTransformation(init, update)
+
+
+def adam8bit(learning_rate, b1: float = 0.9, b2: float = 0.999,
+             eps: float = 1e-8):
+    """optax.adam drop-in with int8 moments."""
+    return optax.chain(
+        scale_by_adam8bit(b1, b2, eps),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def adamw8bit(learning_rate, b1: float = 0.9, b2: float = 0.999,
+              eps: float = 1e-8, weight_decay: float = 1e-2, mask=None):
+    """optax.adamw drop-in with int8 moments (reference AdamW8bit,
+    train_finetune_videodiffusion.py:163-173)."""
+    return optax.chain(
+        scale_by_adam8bit(b1, b2, eps),
+        optax.add_decayed_weights(weight_decay, mask=mask),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def state_bytes(opt_state) -> int:
+    """Total bytes of an optimizer state pytree (for the 4x-state tests)."""
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree.leaves(opt_state)
+               if hasattr(x, "dtype"))

@@ -32,6 +32,10 @@ class SemanticTrainConfig:
     lr: float = 5e-4
     hidden: int = 10000
     out_dim: int = 77 * 768
+    # int8 blockwise Adam moments (train/optim.py): the f32-Adam step is at
+    # the HBM roofline (~30 GB/step streamed for the 894M-param MLP,
+    # BENCH_NOTES) and the moment traffic is the biggest slice of it
+    use_8bit_adam: bool = False
 
 
 def prepare_semantic_data(de_features: np.ndarray, text_embeddings):
@@ -90,7 +94,12 @@ def train_semantic(eeg, text, cfg: SemanticTrainConfig = SemanticTrainConfig(),
     n = len(eeg)
     steps_per_epoch = int(np.ceil(n / cfg.batch_size))
     sched = optax.cosine_decay_schedule(cfg.lr, cfg.epochs * steps_per_epoch)
-    tx = optax.adam(sched)
+    if cfg.use_8bit_adam:
+        from .optim import adam8bit
+
+        tx = adam8bit(sched)
+    else:
+        tx = optax.adam(sched)
     opt_state = tx.init(params)
     if mesh is not None:
         # optimizer moments inherit param shardings automatically via jit

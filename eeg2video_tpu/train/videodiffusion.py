@@ -88,6 +88,9 @@ class VideoDiffusionTrainConfig:
     # save flash-attention outputs in remat'd blocks instead of re-running
     # the forward kernels in the backward recompute (see unet3d)
     remat_save_attn: bool = True
+    # reference use_8bit_adam (bitsandbytes AdamW8bit, train L163-173):
+    # int8 blockwise-quantized Adam moments (train/optim.py)
+    use_8bit_adam: bool = False
     # False = reference freeze rule (only attn1.to_q/attn2.to_q/attn_temp,
     # train L142-146); True = full fine-tune (every parameter trainable)
     train_all: bool = False
@@ -121,15 +124,17 @@ def make_optimizer(cfg: VideoDiffusionTrainConfig, params) -> optax.GradientTran
     # of dead f32 moments for the frozen SD weights, enough to OOM the
     # reference's batch-10 recipe on one 16 GB chip.  Frozen leaves pass
     # through the first transform untouched and are zeroed by the second.
+    if cfg.use_8bit_adam:
+        from .optim import adamw8bit
+
+        adamw = adamw8bit(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                          eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
+    else:
+        adamw = optax.adamw(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                            eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
     tx = optax.chain(
         optax.masked(
-            optax.chain(
-                optax.clip_by_global_norm(cfg.max_grad_norm),
-                optax.adamw(
-                    cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
-                    eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
-                ),
-            ),
+            optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), adamw),
             mask,
         ),
         optax.masked(optax.set_to_zero(), inv_mask),
