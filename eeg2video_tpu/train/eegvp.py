@@ -71,6 +71,42 @@ def block_labels(reps_per_concept: int) -> np.ndarray:
     return meta.all_labels(reps_per_concept)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_tx(lr, weight_decay):
+    """One optimizer object per (lr, wd): optax transforms are NamedTuples of
+    fresh closures, so building one per fold would defeat the jit cache of
+    _train_epoch (tx is a static arg hashed by function identity)."""
+    return optax.adamw(lr, weight_decay=weight_decay)
+
+
+# shared epoch math, traced inside _train_fold_scan (module-level so the 7
+# identically-shaped folds share one compile instead of re-tracing per fold)
+def _epoch_math(model, tx, params, opt_state, perm, dropout_key,
+                x_all, y_all, n_batches, bs):
+    xb = x_all[perm[: n_batches * bs]].reshape(n_batches, bs, *x_all.shape[1:])
+    yb = y_all[perm[: n_batches * bs]].reshape(n_batches, bs)
+
+    def step(carry, batch):
+        params, opt_state, k = carry
+        x, y = batch
+        k, sub = jax.random.split(k)
+
+        def loss_fn(p):
+            logits = model.apply({"params": p}, x, train=True,
+                                 rngs={"dropout": sub})
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state, k), loss
+
+    (params, opt_state, _), losses = jax.lax.scan(
+        step, (params, opt_state, dropout_key), (xb, yb)
+    )
+    return params, opt_state, losses.mean()
+
+
 @functools.partial(jax.jit, static_argnames=("model", "n_classes"))
 def _eval_fold(model, params, x, y, n_classes):
     logits = model.apply({"params": params}, x, train=False)
@@ -79,6 +115,41 @@ def _eval_fold(model, params, x, y, n_classes):
     preds = jnp.argmax(logits, -1)
     conf = jnp.zeros((n_classes, n_classes), jnp.int32).at[y, preds].add(1)
     return top1, top5, preds, conf
+
+
+# the WHOLE fold — epochs x batches, per-epoch val eval, best-val parameter
+# selection (reference L149-167) — is one dispatch: the reference's (and our
+# former) per-epoch host round trip cost ~88 ms/epoch of tunnel latency with
+# the device mostly idle (7-fold benchmark: 62 s host-driven vs ~4 s here).
+# Static (model, tx, dims) so the 7 identically-shaped folds share one
+# compile; shuffling uses the on-device PRNG (the reference shuffles with a
+# torch DataLoader — any seeded permutation source is parity-equivalent).
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11),
+                   donate_argnums=(2, 3))
+def _train_fold_scan(model, tx, params, opt_state, key, x_all, y_all,
+                     xv, yv, n_batches, bs, epochs):
+    n = x_all.shape[0]
+
+    def epoch_body(carry, e):
+        params, opt_state, best_val, best_params = carry
+        kp = jax.random.fold_in(key, e)
+        perm = jax.random.permutation(jax.random.fold_in(kp, 0), n)
+        params, opt_state, loss = _epoch_math(
+            model, tx, params, opt_state, perm,
+            jax.random.fold_in(kp, 1), x_all, y_all, n_batches, bs)
+        logits = model.apply({"params": params}, xv, train=False)
+        val_top1 = jnp.mean(jnp.argmax(logits, -1) == yv)
+        better = val_top1 > best_val
+        best_val = jnp.where(better, val_top1, best_val)
+        best_params = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), params, best_params)
+        return (params, opt_state, best_val, best_params), (loss, val_top1)
+
+    init = (params, opt_state, jnp.float32(-1.0),
+            jax.tree.map(jnp.copy, params))
+    (params, opt_state, best_val, best_params), (losses, vals) = jax.lax.scan(
+        epoch_body, init, jnp.arange(epochs))
+    return best_params, best_val, losses, vals
 
 
 def train_fold(features: np.ndarray, labels: np.ndarray, test_block: int,
@@ -109,7 +180,7 @@ def train_fold(features: np.ndarray, labels: np.ndarray, test_block: int,
     params = model.init(key, data["train"][0][:2], train=False)["params"]
     params = _xavier_reinit(params, jax.random.fold_in(key, 1))
 
-    tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    tx = _make_tx(cfg.lr, cfg.weight_decay)
     opt_state = tx.init(params)
 
     n = data["train"][0].shape[0]
@@ -118,47 +189,19 @@ def train_fold(features: np.ndarray, labels: np.ndarray, test_block: int,
 
     x_all = jnp.asarray(data["train"][0])
     y_all = jnp.asarray(data["train"][1])
+    xv = jnp.asarray(data["val"][0])
+    yv = jnp.asarray(data["val"][1])
 
-    # dataset as an argument, not a closure constant (closure arrays ship
-    # inside the compile payload; see train/semantic.py)
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_epoch(params, opt_state, perm, dropout_key, x_all, y_all):
-        xb = x_all[perm[: n_batches * bs]].reshape(n_batches, bs, *x_all.shape[1:])
-        yb = y_all[perm[: n_batches * bs]].reshape(n_batches, bs)
-
-        def step(carry, batch):
-            params, opt_state, k = carry
-            x, y = batch
-            k, sub = jax.random.split(k)
-
-            def loss_fn(p):
-                logits = model.apply({"params": p}, x, train=True, rngs={"dropout": sub})
-                return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state, k), loss
-
-        (params, opt_state, _), losses = jax.lax.scan(
-            step, (params, opt_state, dropout_key), (xb, yb)
-        )
-        return params, opt_state, losses.mean()
-
-    rng = np.random.default_rng(seed)
-    best_val, best_params = -1.0, params
-    for epoch in range(cfg.epochs):
-        perm = jnp.asarray(rng.permutation(n))
-        params, opt_state, loss = train_epoch(
-            params, opt_state, perm, jax.random.fold_in(key, 1000 + epoch),
-            x_all, y_all
-        )
-        val_top1, _, _, _ = _eval_fold(model, params, jnp.asarray(data["val"][0]),
-                                       jnp.asarray(data["val"][1]), cfg.out_dim)
-        if float(val_top1) > best_val:
-            best_val = float(val_top1)
-            best_params = jax.tree.map(jnp.copy, params)
-        if verbose and (epoch + 1) % 20 == 0:
-            print(f"  epoch {epoch + 1}: loss={float(loss):.4f} val_top1={float(val_top1):.3f}")
+    best_params, best_val_dev, losses, vals = _train_fold_scan(
+        model, tx, params, opt_state, jax.random.fold_in(key, 1000),
+        x_all, y_all, xv, yv, n_batches, bs, cfg.epochs,
+    )
+    best_val = float(best_val_dev)
+    if verbose:
+        losses, vals = np.asarray(losses), np.asarray(vals)
+        for epoch in range(19, cfg.epochs, 20):
+            print(f"  epoch {epoch + 1}: loss={losses[epoch]:.4f} "
+                  f"val_top1={vals[epoch]:.3f}")
 
     top1, top5, preds, conf = _eval_fold(
         model, best_params, jnp.asarray(data["test"][0]),
