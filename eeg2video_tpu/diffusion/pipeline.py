@@ -33,11 +33,12 @@ from .schedulers import DDIMSchedule
 @functools.partial(
     jax.jit,
     static_argnames=("unet", "vae", "dtype", "video_length", "height",
-                     "width", "num_inference_steps", "decode"),
+                     "width", "num_inference_steps", "decode",
+                     "sequential_decode"),
 )
 def _sample(unet, vae, dtype, unet_params, vae_params, embeddings, negative,
             latents, key, video_length, height, width, num_inference_steps,
-            guidance_scale, decode):
+            guidance_scale, decode, sequential_decode=True):
     sched = DDIMSchedule.create(num_inference_steps)
     b = embeddings.shape[0]
     h8, w8 = height // 8, width // 8
@@ -63,10 +64,23 @@ def _sample(unet, vae, dtype, unet_params, vae_params, embeddings, negative,
 
     if not decode:
         return latents
-    # VAE decode, frames folded into batch (pipeline_tuneeeg2video.py:172-181)
+    # VAE decode (pipeline_tuneeeg2video.py:172-181).  Single chip decodes
+    # frame by frame: XLA's large-spatial conv emitter at the folded
+    # (B*F, 288, 512, C) batch spends half the decode on halo-blocked layout
+    # relayouts — 163 ms vs 61 ms for six sequential batch-1 decodes
+    # (device trace, BENCH_NOTES round 3; the reference also decodes
+    # per-frame, its pipeline loops frames through vae.decode).  Sharded
+    # generation keeps the batched form: a lax.map over a dp-sharded axis
+    # would serialize the devices.
     z = (latents / SD_VAE_SCALE).astype(dtype)
     frames = z.reshape(b * video_length, h8, w8, 4)
-    video = vae.apply({"params": vae_params}, frames, method=AutoencoderKL.decode)
+    if sequential_decode:
+        video = jax.lax.map(
+            lambda zi: vae.apply({"params": vae_params}, zi[None],
+                                 method=AutoencoderKL.decode)[0], frames)
+    else:
+        video = vae.apply({"params": vae_params}, frames,
+                          method=AutoencoderKL.decode)
     video = (video.astype(jnp.float32) / 2 + 0.5).clip(0.0, 1.0)
     return video.reshape(b, video_length, height, width, 3)
 
@@ -146,7 +160,7 @@ class EEG2VideoPipeline:
             self.unet, self.vae, self.dtype, self.unet_params, self.vae_params,
             embeddings, jnp.asarray(negative), latents, key, video_length,
             height, width, num_inference_steps, jnp.float32(guidance_scale),
-            decode,
+            decode, sequential_decode=self.mesh is None,
         )
 
 
