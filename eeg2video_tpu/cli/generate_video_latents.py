@@ -61,9 +61,16 @@ def main(argv=None):
 
     @jax.jit
     def encode(frames):  # (N, H, W, 3) in [-1, 1]
-        mean, _ = vae.apply({"params": params}, frames.astype(jnp.dtype(args.dtype)),
-                            method=AutoencoderKL.encode)
-        return mean.astype(jnp.float32)
+        # per-frame inside one dispatch — see train.videodiffusion
+        # encode_posteriors (batched large-spatial encode pays ~2.2x in
+        # XLA halo relayouts)
+        def one(fr):
+            mean, _ = vae.apply({"params": params},
+                                fr[None].astype(jnp.dtype(args.dtype)),
+                                method=AutoencoderKL.encode)
+            return mean[0].astype(jnp.float32)
+
+        return jax.lax.map(one, frames)
 
     latents = []
     for blk in args.blocks:

@@ -219,10 +219,17 @@ def encode_posteriors(
 
     @jax.jit
     def enc(frames):
-        mean, logvar = vae.apply({"params": vae_params}, frames.astype(dtype),
-                                 method=AutoencoderKL.encode)
-        return jnp.concatenate(
-            [mean.astype(jnp.float32), logvar.astype(jnp.float32)], axis=-1)
+        # frame-by-frame inside one dispatch: XLA's large-spatial conv
+        # emitter wastes half the batched encode on halo-blocked relayouts
+        # (68.8 -> 31.3 ms per 6 frames at batch 1; BENCH_NOTES round 3)
+        def one(fr):
+            mean, logvar = vae.apply({"params": vae_params},
+                                     fr[None].astype(dtype),
+                                     method=AutoencoderKL.encode)
+            return jnp.concatenate([mean[0].astype(jnp.float32),
+                                    logvar[0].astype(jnp.float32)], axis=-1)
+
+        return jax.lax.map(one, frames)
 
     n, f = pixels.shape[0], pixels.shape[1]
     flat = pixels.reshape((n * f,) + pixels.shape[2:])
