@@ -75,7 +75,7 @@ def block_labels(reps_per_concept: int) -> np.ndarray:
 def _make_tx(lr, weight_decay):
     """One optimizer object per (lr, wd): optax transforms are NamedTuples of
     fresh closures, so building one per fold would defeat the jit cache of
-    _train_epoch (tx is a static arg hashed by function identity)."""
+    _train_fold_scan (tx is a static arg hashed by function identity)."""
     return optax.adamw(lr, weight_decay=weight_decay)
 
 
