@@ -124,6 +124,11 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh size (Megatron-sharded "
                         "attention/FFN projections)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style fully-sharded params/optimizer over "
+                        "the dp axis (parallel.shard_params_fsdp): each "
+                        "weight all-gathers at use, grads reduce-scatter; "
+                        "per-chip param+opt memory drops ~dp-fold")
     args = p.parse_args(argv)
 
     remat = True
@@ -181,9 +186,15 @@ def main(argv=None):
         from ..parallel import make_mesh, shard_params
 
         mesh = make_mesh(dp=dp, tp=tp)
-        params = shard_params(params, mesh, unet_tp_rules)
-        vae_params = shard_params(vae_params, mesh, None)
-        log.info("mesh: dp=%d tp=%d", dp, tp)
+        if args.fsdp:
+            from ..parallel import shard_params_fsdp
+
+            params = shard_params_fsdp(params, mesh, unet_tp_rules)
+            vae_params = shard_params_fsdp(vae_params, mesh, None)
+        else:
+            params = shard_params(params, mesh, unet_tp_rules)
+            vae_params = shard_params(vae_params, mesh, None)
+        log.info("mesh: dp=%d tp=%d fsdp=%s", dp, tp, args.fsdp)
 
     state = init_video_train_state(params, tcfg)
     if args.unet_ckpt:

@@ -3,5 +3,7 @@ from .mesh import (
     batch_sharding,
     replicated,
     shard_params,
+    shard_params_fsdp,
+    fsdp_spec,
     is_host0,
 )

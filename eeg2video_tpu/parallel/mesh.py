@@ -52,6 +52,50 @@ def shard_params(params, mesh: Mesh, rules):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def fsdp_spec(shape, base_spec, dp: int, axis_name: str = "dp") -> P:
+    """ZeRO-3-style spec for one parameter: add ``axis_name`` on the largest
+    dimension that is divisible by ``dp`` and not already sharded by
+    ``base_spec`` (the tp rule).  Returns ``base_spec`` unchanged when no
+    dimension qualifies (small/odd leaves stay replicated — GSPMD would pad
+    them otherwise)."""
+    base = tuple(base_spec) if base_spec is not None else ()
+    base = base + (None,) * (len(shape) - len(base))
+    cands = [d for d in range(len(shape))
+             if base[d] is None and shape[d] % dp == 0 and shape[d] >= dp]
+    if not cands:
+        return P(*base) if any(base) else P()
+    d = max(cands, key=lambda i: shape[i])
+    new = list(base)
+    new[d] = axis_name
+    return P(*new)
+
+
+def shard_params_fsdp(params, mesh: Mesh, base_rules=None, axis_name: str = "dp"):
+    """Fully-sharded data parallelism for a parameter (or optimizer-state)
+    pytree: every leaf is sharded over the ``dp`` mesh axis on its largest
+    eligible dimension, on top of any tensor-parallel ``base_rules``.
+
+    With params placed this way, the jitted train step (which infers input
+    shardings) makes GSPMD all-gather each weight at its use site and
+    reduce-scatter its gradient — ZeRO-3 semantics with zero trainer-code
+    changes.  Per-chip param+optimizer memory drops ~dp-fold; the reference
+    has no analog (its only strategy is replicated DDP, SURVEY.md 2.5).
+
+    Leaves whose shape has no dp-divisible dimension (biases at odd sizes,
+    scalars such as optimizer counts) stay at ``base_rules``/replicated."""
+    dp = mesh.shape[axis_name]
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def place(path, leaf):
+        base = base_rules(path) if base_rules is not None else None
+        spec = fsdp_spec(np.shape(leaf), base, dp, axis_name)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    leaves = [place(p, l) for p, l in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def is_host0() -> bool:
     """Replacement for accelerator.is_main_process guards
     (reference train_finetune_videodiffusion.py:123, 264)."""
