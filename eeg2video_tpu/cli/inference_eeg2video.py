@@ -145,6 +145,11 @@ def main(argv=None):
                         "(driver behavior, inference_eeg2video.py:45)")
     p.add_argument("--out_dir", default=None)
     p.add_argument("--num_inference_steps", type=int, default=100)
+    p.add_argument("--sampler", default="ddim", choices=("ddim", "dpm++"),
+                   help="ddim = reference semantics (100 steps, "
+                        "inference_eeg2video.py:74-86); dpm++ = "
+                        "DPM-Solver++(2M) fast path (try "
+                        "--num_inference_steps 20 for ~5x lower latency)")
     p.add_argument("--guidance_scale", type=float, default=12.5)
     p.add_argument("--height", type=int, default=288)
     p.add_argument("--width", type=int, default=512)
@@ -211,7 +216,7 @@ def main(argv=None):
         videos = pipe(e, negative, latents=lat, key=jax.random.fold_in(key, s),
                       video_length=args.video_length, height=args.height,
                       width=args.width, num_inference_steps=args.num_inference_steps,
-                      guidance_scale=args.guidance_scale)
+                      guidance_scale=args.guidance_scale, sampler=args.sampler)
         videos = np.asarray(videos)[:m]
         for j in range(m):
             save_videos_grid(videos[j:j + 1], os.path.join(out_dir, f"{s + j}.gif"))

@@ -57,7 +57,7 @@ def _generate(pipe, key, emb, negative, latents, out_dir, args, req):
             e, negative, latents=lat, key=jax.random.fold_in(key, s),
             video_length=g("video_length"), height=g("height"),
             width=g("width"), num_inference_steps=g("num_inference_steps"),
-            guidance_scale=g("guidance_scale")))
+            guidance_scale=g("guidance_scale"), sampler=g("sampler")))
         for j in range(len(e)):
             path = os.path.join(out_dir, f"{s + j}.gif")
             save_videos_grid(videos[j:j + 1], path)
@@ -101,6 +101,10 @@ def main(argv=None):
     p.add_argument("--negative", default=None)
     p.add_argument("--out_dir", default="./outputs/served")
     p.add_argument("--num_inference_steps", type=int, default=100)
+    p.add_argument("--sampler", default="ddim", choices=("ddim", "dpm++"),
+                   help="dpm++ = DPM-Solver++(2M); with "
+                        "--num_inference_steps 20 the per-request latency "
+                        "drops ~5x at the same quality tier")
     p.add_argument("--guidance_scale", type=float, default=12.5)
     p.add_argument("--height", type=int, default=288)
     p.add_argument("--width", type=int, default=512)
@@ -126,7 +130,7 @@ def main(argv=None):
                    key=jax.random.key(0), video_length=args.video_length,
                    height=args.height, width=args.width,
                    num_inference_steps=args.num_inference_steps,
-                   guidance_scale=args.guidance_scale)
+                   guidance_scale=args.guidance_scale, sampler=args.sampler)
         # host-reduce to actually wait for execution (over the tunnel,
         # block_until_ready can return early — see bench.py)
         float(jax.numpy.sum(out))

@@ -27,19 +27,22 @@ import jax.numpy as jnp
 
 from ..models.unet3d import UNet3DConditionModel, UNet3DConfig
 from ..models.vae import AutoencoderKL, VAEConfig, SD_VAE_SCALE
-from .schedulers import DDIMSchedule
+from .schedulers import DDIMSchedule, DPMSolverPPSchedule
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("unet", "vae", "dtype", "video_length", "height",
                      "width", "num_inference_steps", "decode",
-                     "sequential_decode"),
+                     "sequential_decode", "sampler"),
 )
 def _sample(unet, vae, dtype, unet_params, vae_params, embeddings, negative,
             latents, key, video_length, height, width, num_inference_steps,
-            guidance_scale, decode, sequential_decode=True):
-    sched = DDIMSchedule.create(num_inference_steps)
+            guidance_scale, decode, sequential_decode=True, sampler="ddim"):
+    if sampler not in ("ddim", "dpm++"):
+        raise ValueError(f"unknown sampler '{sampler}' (ddim | dpm++)")
+    sched = (DDIMSchedule if sampler == "ddim" else DPMSolverPPSchedule).create(
+        num_inference_steps)
     b = embeddings.shape[0]
     h8, w8 = height // 8, width // 8
 
@@ -51,16 +54,29 @@ def _sample(unet, vae, dtype, unet_params, vae_params, embeddings, negative,
         latents = jax.random.normal(key, (b, video_length, h8, w8, 4), jnp.float32)
     latents = latents.astype(jnp.float32) * sched.init_noise_sigma
 
-    def step(lat, t):
+    def eps_guided(lat, t):
         inp = jnp.concatenate([lat, lat], axis=0).astype(dtype)
         eps = unet.apply(
             {"params": unet_params}, inp, jnp.broadcast_to(t, (2 * b,)), context
         ).astype(jnp.float32)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
-        eps_g = eps_u + guidance_scale * (eps_c - eps_u)
-        return sched.step(eps_g, t, lat), None
+        return eps_u + guidance_scale * (eps_c - eps_u)
 
-    latents, _ = jax.lax.scan(step, latents, sched.timesteps)
+    if sampler == "ddim":
+        def step(lat, t):
+            return sched.step(eps_guided(lat, t), t, lat), None
+
+        latents, _ = jax.lax.scan(step, latents, sched.timesteps)
+    else:
+        # DPM-Solver++(2M): second-order multistep, (latents, prev_x0) carry
+        def step(carry, it):
+            lat, x0p = carry
+            i, t = it
+            return sched.step(eps_guided(lat, t), i, lat, x0p), None
+
+        (latents, _), _ = jax.lax.scan(
+            step, (latents, jnp.zeros_like(latents)),
+            (jnp.arange(num_inference_steps), sched.timesteps))
 
     if not decode:
         return latents
@@ -127,7 +143,8 @@ class EEG2VideoPipeline:
 
     def __call__(self, embeddings, negative, *, latents=None, key=None,
                  video_length=6, height=288, width=512,
-                 num_inference_steps=50, guidance_scale=7.5, decode=True):
+                 num_inference_steps=50, guidance_scale=7.5, decode=True,
+                 sampler="ddim"):
         """Generate videos.
 
         embeddings: (B, 77*768) or (B, 77, 768) semantic embeddings
@@ -135,6 +152,9 @@ class EEG2VideoPipeline:
                     embedding or the committed negative.npy artifact)
         latents:    optional (B, F, H/8, W/8, 4) channels-last initial latents
                     (use latents_from_torch_layout for reference-format files)
+        sampler:    "ddim" (reference semantics, inference_eeg2video.py:74-86)
+                    or "dpm++" (DPM-Solver++(2M) fast path: ~15-25 steps
+                    instead of 100 for the same ODE solution quality tier)
         returns (B, F, H, W, 3) float32 in [0, 1], or latents if decode=False
         """
         if key is None:
@@ -160,7 +180,7 @@ class EEG2VideoPipeline:
             self.unet, self.vae, self.dtype, self.unet_params, self.vae_params,
             embeddings, jnp.asarray(negative), latents, key, video_length,
             height, width, num_inference_steps, jnp.float32(guidance_scale),
-            decode, sequential_decode=self.mesh is None,
+            decode, sequential_decode=self.mesh is None, sampler=sampler,
         )
 
 
