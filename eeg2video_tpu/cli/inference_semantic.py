@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--scaler", default="./outputs/semantic/scaler.npz")
     p.add_argument("--block", type=int, default=6)
     p.add_argument("--hidden", type=int, default=10000)
+    p.add_argument("--int8", action="store_true",
+                   help="weight-only-int8 serving (ops/int8_dense): 4x less "
+                        "HBM weight traffic, output cosine > 0.999 vs f32")
     p.add_argument("--out", default="./outputs/semantic/semantic_embeddings.npy")
     args = p.parse_args(argv)
 
@@ -49,7 +52,12 @@ def main(argv=None):
         if variables is None:
             raise SystemExit(f"no checkpoint in {args.ckpt}")
 
-    emb = predict_semantic(variables, eeg, hidden=args.hidden)
+    if args.int8:
+        from ..train.semantic import predict_semantic_int8
+
+        emb = predict_semantic_int8(variables, eeg)
+    else:
+        emb = predict_semantic(variables, eeg, hidden=args.hidden)
     save_array(args.out, emb)
     log.info("semantic embeddings %s -> %s", emb.shape, args.out)
 

@@ -164,3 +164,29 @@ def predict_semantic(variables, eeg, hidden=10000, out_dim=77 * 768,
         np.asarray(f(jnp.asarray(eeg[s:s + batch_size], jnp.float32)))
         for s in range(0, len(eeg), batch_size)
     ])
+
+
+def predict_semantic_int8(variables, eeg, batch_size=100, bn=512):
+    """Weight-only-int8 serving of the semantic MLP (ops/int8_dense): the
+    894M f32 weights quantize once to per-column int8 (~0.9 GB resident
+    instead of 3.6), and each GEMM streams 4x fewer weight bytes — the
+    layer is HBM-bandwidth-bound at serving batch sizes.  Output cosine vs
+    the f32 path > 0.999 (tests/test_int8_dense.py)."""
+    from ..ops.int8_dense import int8_dense, quantize_dense_tree
+
+    params = variables["params"] if "params" in variables else variables
+    qt = quantize_dense_tree(params, bn=bn)
+    names = [k for k in sorted(params) if k.startswith("fc")] + ["out"]
+
+    def f(x):
+        for i, name in enumerate(names):
+            w_q, scale, bias, n_out = qt[name]
+            x = int8_dense(x, w_q, scale, bias, n_out, bn=bn)
+            if i < len(names) - 1:
+                x = jax.nn.relu(x)
+        return x
+
+    return np.concatenate([
+        np.asarray(f(jnp.asarray(eeg[s:s + batch_size], jnp.float32)))
+        for s in range(0, len(eeg), batch_size)
+    ])
