@@ -112,11 +112,16 @@ def de_psd(x, fs: int = meta.FS, win_sec: float = 2.0, dtype=jnp.float32):
     flat = xw.reshape((-1, STFTN))
     dname = np.dtype(jnp.dtype(dtype)).name
     cos_b, sin_b = _dft_bases(dname)
-    re = flat @ jnp.asarray(cos_b)
-    im = flat @ jnp.asarray(sin_b)
+    # HIGHEST precision: TPU f32 matmuls otherwise run as bf16 MXU passes
+    # (~3e-3 rel on raw PSD energies, scripts/tpu_kernel_check.py) — the
+    # multi-pass f32 product keeps the TPU path inside the <=1e-4 parity
+    # budget while staying far above the CPU path's throughput
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(flat, jnp.asarray(cos_b), precision=hi)
+    im = jnp.dot(flat, jnp.asarray(sin_b), precision=hi)
     mag2 = re * re + im * im  # |X_k|^2, first 100 bins
 
-    psd = mag2 @ jnp.asarray(_band_matrix(fs, dname))
+    psd = jnp.dot(mag2, jnp.asarray(_band_matrix(fs, dname)), precision=hi)
     de = jnp.log2(100.0 * psd)
     return de.reshape(lead + (meta.N_BANDS,)), psd.reshape(lead + (meta.N_BANDS,))
 

@@ -389,7 +389,12 @@ def fused_ff_ln(x, gamma, beta, wp, bp, wo, bo, eps=1e-5):
     Pallas kernel.  x (..., C) channels-minor; gamma/beta (C,) LN affine;
     wp (C, 2*I), bp (2*I,); wo (I, C), bo (C,).  Wide or off-grid shapes
     (C > 640 keeps the weights out of VMEM; tiny test models) fall back to
-    XLA / the plain geglu kernel."""
+    XLA / the plain geglu kernel.
+
+    All operands must share ONE dtype (the model promotes via
+    nn.dtypes.promote_dtype, attention3d.py): mixed f32/bf16 operands make
+    the backward's recompute emit a different output dtype than the forward
+    kernel, and the vjp rejects the cotangent."""
     C = x.shape[-1]
     inner = wo.shape[0]
     lead = x.shape[:-1]
