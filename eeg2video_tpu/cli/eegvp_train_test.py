@@ -24,7 +24,25 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--encoder", default="glfnet_mlp")
+    p.add_argument("--fold_parallel", action="store_true",
+                   help="run all 7 folds as one vmapped program — across a "
+                        "7-device 'fold' mesh when available, batched on one "
+                        "chip otherwise (the reference loops folds serially)")
     args = p.parse_args(argv)
+
+    mesh = None
+    if args.fold_parallel:
+        import jax
+
+        n_dev = len(jax.devices())
+        if n_dev >= meta.N_BLOCKS:
+            from jax.sharding import Mesh
+            import numpy as _np
+
+            mesh = Mesh(_np.asarray(jax.devices()[:meta.N_BLOCKS]), ("fold",))
+            log.info("fold-parallel over %d devices", meta.N_BLOCKS)
+        else:
+            log.info("fold-parallel (vmapped) on %d device(s)", n_dev)
 
     cfg = EEGVPConfig(epochs=args.epochs, batch_size=args.batch_size,
                       lr=args.lr, encoder=args.encoder)
@@ -35,7 +53,8 @@ def main(argv=None):
         feats = feats.reshape(7, n_per_block, meta.N_CHANNELS, meta.N_BANDS).astype(np.float32)
         reps = n_per_block // meta.N_CONCEPTS  # 10 for DE_1per1s
         labels = meta.all_labels(reps)
-        res = run_benchmark(feats, labels, cfg, seed=sub, verbose=True)
+        res = run_benchmark(feats, labels, cfg, seed=sub, verbose=True,
+                            fold_parallel=args.fold_parallel, mesh=mesh)
         log.info("sub%d: top1 %.3f+-%.3f top5 %.3f+-%.3f", sub,
                  res["top1_mean"], res["top1_std"], res["top5_mean"], res["top5_std"])
         all_top1.append(res["top1_mean"])

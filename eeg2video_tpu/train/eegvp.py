@@ -124,10 +124,8 @@ def _eval_fold(model, params, x, y, n_classes):
 # Static (model, tx, dims) so the 7 identically-shaped folds share one
 # compile; shuffling uses the on-device PRNG (the reference shuffles with a
 # torch DataLoader — any seeded permutation source is parity-equivalent).
-@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11),
-                   donate_argnums=(2, 3))
-def _train_fold_scan(model, tx, params, opt_state, key, x_all, y_all,
-                     xv, yv, n_batches, bs, epochs):
+def _fold_program(model, tx, params, opt_state, key, x_all, y_all,
+                  xv, yv, n_batches, bs, epochs):
     n = x_all.shape[0]
 
     def epoch_body(carry, e):
@@ -152,10 +150,33 @@ def _train_fold_scan(model, tx, params, opt_state, key, x_all, y_all,
     return best_params, best_val, losses, vals
 
 
-def train_fold(features: np.ndarray, labels: np.ndarray, test_block: int,
-               cfg: EEGVPConfig = EEGVPConfig(), seed: int = 0, verbose=False):
-    """features: (7, N, 62, 5) per-block DE features (presentation order),
-    labels: (7, N).  Returns dict with accuracies, predictions, confusion."""
+_train_fold_scan = functools.partial(
+    jax.jit, static_argnums=(0, 1, 9, 10, 11), donate_argnums=(2, 3),
+)(_fold_program)
+
+
+# Fold-parallel benchmark: the 7 leave-one-block-out folds are identically
+# shaped and independent, so the whole benchmark is ONE vmapped fold program
+# (the reference runs them as a serial Python loop, EEG_VP_train_test.py:
+# 238-252).  On a mesh with a "fold" axis the stacked inputs shard across
+# devices with ZERO collectives — 7 chips each train their own fold, 7x the
+# serial wall-clock.  On a single chip it measures ~neutral (3.06 -> 2.97 s
+# warm, scripts/eegvp_bench.py): the fold program is bound by its op
+# dependency chain, not throughput, so batching the tiny GEMMs 7x doesn't
+# shorten it.
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11))
+def _train_folds_vmapped(model, tx, params, opt_state, keys, x_all, y_all,
+                         xv, yv, n_batches, bs, epochs):
+    def one(params, opt_state, key, x_all, y_all, xv, yv):
+        return _fold_program(model, tx, params, opt_state, key,
+                             x_all, y_all, xv, yv, n_batches, bs, epochs)
+
+    return jax.vmap(one)(params, opt_state, keys, x_all, y_all, xv, yv)
+
+
+def _fold_arrays(features, labels, test_block):
+    """Host-side split + per-split scaler for one fold -> dict of numpy
+    ``{split: (x (n, C, 5), y (n,))}``."""
     tr_blocks, val_b, te_b = make_fold_splits(test_block)
     flat = lambda bs: features[bs].reshape(-1, features.shape[-2] * features.shape[-1])
     xs = {
@@ -174,6 +195,14 @@ def train_fold(features: np.ndarray, labels: np.ndarray, test_block: int,
     for k in xs:
         scaled = StandardScaler().fit_transform(xs[k])
         data[k] = (scaled.reshape(-1, C, features.shape[-1]), ys[k].astype(np.int32))
+    return data
+
+
+def train_fold(features: np.ndarray, labels: np.ndarray, test_block: int,
+               cfg: EEGVPConfig = EEGVPConfig(), seed: int = 0, verbose=False):
+    """features: (7, N, 62, 5) per-block DE features (presentation order),
+    labels: (7, N).  Returns dict with accuracies, predictions, confusion."""
+    data = _fold_arrays(features, labels, test_block)
 
     model = make_encoder(cfg.encoder, out_dim=cfg.out_dim, emb_dim=cfg.emb_dim)
     key = jax.random.key(seed)
@@ -214,16 +243,84 @@ def train_fold(features: np.ndarray, labels: np.ndarray, test_block: int,
     }
 
 
-def run_benchmark(features, labels, cfg: EEGVPConfig = EEGVPConfig(), seed=0,
-                  verbose=False):
-    """Full 7-fold leave-one-block-out benchmark (reference L238-362).
-    Returns per-fold results + mean/std summary."""
+def _run_benchmark_parallel(features, labels, cfg, seed, mesh=None):
+    """All 7 folds as one vmapped program (see _train_folds_vmapped).  Per-fold
+    seeds/keys/data match the serial path exactly.  ``mesh``: optional mesh
+    with a "fold" axis whose size divides 7 — the stacked fold axis shards
+    across it (each device trains its own fold, no collectives)."""
+    model = make_encoder(cfg.encoder, out_dim=cfg.out_dim, emb_dim=cfg.emb_dim)
+    tx = _make_tx(cfg.lr, cfg.weight_decay)
+
+    datas, params_l, keys_l = [], [], []
+    for tb in range(meta.N_BLOCKS):
+        data = _fold_arrays(features, labels, tb)
+        key = jax.random.key(seed + tb)
+        params = model.init(key, data["train"][0][:2], train=False)["params"]
+        params_l.append(_xavier_reinit(params, jax.random.fold_in(key, 1)))
+        keys_l.append(jax.random.fold_in(key, 1000))
+        datas.append(data)
+
+    stack = lambda arrs: jnp.stack([jnp.asarray(a) for a in arrs])
+    params = jax.tree.map(lambda *ls: jnp.stack(ls), *params_l)
+    keys = jnp.stack(keys_l)
+    x_all = stack([d["train"][0] for d in datas])
+    y_all = stack([d["train"][1] for d in datas])
+    xv = stack([d["val"][0] for d in datas])
+    yv = stack([d["val"][1] for d in datas])
+    xt = stack([d["test"][0] for d in datas])
+    yt = stack([d["test"][1] for d in datas])
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("fold"))
+        put = lambda t: jax.tree.map(lambda l: jax.device_put(l, sh), t)
+        params, keys = put(params), put(keys)
+        x_all, y_all, xv, yv, xt, yt = map(put, (x_all, y_all, xv, yv, xt, yt))
+
+    opt_state = jax.vmap(tx.init)(params)
+    n = x_all.shape[1]
+    n_batches = max(n // cfg.batch_size, 1)
+    best_params, best_vals, losses, vals = _train_folds_vmapped(
+        model, tx, params, opt_state, keys, x_all, y_all, xv, yv,
+        n_batches, cfg.batch_size, cfg.epochs)
+    top1, top5, preds, conf = jax.vmap(
+        lambda p, x, y: _eval_fold(model, p, x, y, cfg.out_dim))(
+        best_params, xt, yt)
+
     folds = []
     for tb in range(meta.N_BLOCKS):
-        r = train_fold(features, labels, tb, cfg, seed=seed + tb, verbose=verbose)
-        folds.append(r)
+        folds.append({
+            "test_top1": float(top1[tb]), "test_top5": float(top5[tb]),
+            "val_top1": float(best_vals[tb]),
+            "predictions": np.asarray(preds[tb]),
+            "confusion": np.asarray(conf[tb]),
+            "params": jax.tree.map(lambda l, tb=tb: l[tb], best_params),
+        })
+    return folds
+
+
+def run_benchmark(features, labels, cfg: EEGVPConfig = EEGVPConfig(), seed=0,
+                  verbose=False, fold_parallel=False, mesh=None):
+    """Full 7-fold leave-one-block-out benchmark (reference L238-362).
+    Returns per-fold results + mean/std summary.
+
+    ``fold_parallel``: run all 7 folds as one vmapped on-device program —
+    across a ``mesh`` with a "fold" axis when given, batched on the default
+    device otherwise.  Results match the serial path (same per-fold seeds)."""
+    if fold_parallel:
+        folds = _run_benchmark_parallel(features, labels, cfg, seed, mesh=mesh)
         if verbose:
-            print(f"fold test_block={tb}: top1={r['test_top1']:.3f} top5={r['test_top5']:.3f}")
+            for tb, r in enumerate(folds):
+                print(f"fold test_block={tb}: top1={r['test_top1']:.3f} "
+                      f"top5={r['test_top5']:.3f}")
+    else:
+        folds = []
+        for tb in range(meta.N_BLOCKS):
+            r = train_fold(features, labels, tb, cfg, seed=seed + tb, verbose=verbose)
+            folds.append(r)
+            if verbose:
+                print(f"fold test_block={tb}: top1={r['test_top1']:.3f} top5={r['test_top5']:.3f}")
     top1s = [f["test_top1"] for f in folds]
     top5s = [f["test_top5"] for f in folds]
     return {
