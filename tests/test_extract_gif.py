@@ -71,3 +71,43 @@ def test_extract_gifs_from_block(tmp_path):
             expect = (src * 5) % 250
             got = float(np.median(g[k, :, :, 0]))  # RGB: red channel
             assert abs(got - expect) < 20, (rep, k, got, expect)
+
+
+def test_fast_gif_encoder_roundtrip(tmp_path):
+    """Shared-palette encoder: same frame count/shape, pixels within
+    palette-quantization distance of the source on smooth data."""
+    t = np.linspace(0, 1, 4)[:, None, None, None]
+    yy, xx = np.mgrid[0:36, 0:64]
+    base = np.stack([np.sin(xx / 9), np.cos(yy / 7), xx * 0.0 + 0.5], -1) * 0.5 + 0.5
+    v = np.clip(base[None] * (0.5 + 0.5 * t), 0, 1).astype(np.float32)[None, :, :, :, :]
+    v = v[0][None] if v.ndim == 6 else v  # (1, 4, 36, 64, 3)
+    path = str(tmp_path / "fast.gif")
+    video.save_videos_grid(v, path, encoder="fast")
+    g = video.load_gif(path)
+    assert g.shape == (4, 36, 64, 3)
+    src = (v[0] * 255).astype(np.int32)
+    assert np.abs(g.astype(np.int32) - src).mean() < 16
+
+
+def test_async_video_writer(tmp_path):
+    rng = np.random.default_rng(0)
+    v = rng.random((1, 3, 18, 32, 3)).astype(np.float32)
+    w = video.AsyncVideoWriter(encoder="fast")
+    paths = [str(tmp_path / f"{i}.gif") for i in range(3)]
+    for p in paths:
+        w.submit(v, p)
+    w.close()
+    for p in paths:
+        assert video.load_gif(p).shape == (3, 18, 32, 3)
+
+
+def test_async_video_writer_propagates_errors(tmp_path):
+    import pytest
+
+    v = np.zeros((1, 2, 8, 8, 3), np.float32)
+    w = video.AsyncVideoWriter()
+    w.submit(np.zeros((2, 8, 8, 3), np.float32),  # wrong rank
+             str(tmp_path / "bad.gif"))
+    w.submit(v, str(tmp_path / "ok.gif"))
+    with pytest.raises(ValueError):
+        w.close()
