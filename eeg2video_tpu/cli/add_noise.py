@@ -31,12 +31,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--time_steps", type=int, default=500)
     p.add_argument("--replicate_label_bug", action="store_true")
+    p.add_argument("--threshold", type=float, default=1.799,
+                   help="fast-motion score cut (reference add_noise.py:107); "
+                        "re-anchor when using cli.compute_optical_flow scores, "
+                        "whose absolute scale differs from the shipped table")
     args = p.parse_args(argv)
 
     latents = load_array(args.latents).astype(np.float32)  # (200, 6, 4, 36, 64)
     flow = load_array(args.flow_scores)[args.block]  # (200,) presentation order
 
-    labels = np.asarray(flow >= 1.799, np.int32)
+    labels = np.asarray(flow >= args.threshold, np.int32)
     if not args.replicate_label_bug:
         # reorder flow labels into class order to match the latents
         idx = meta.block_reorder_indices(args.block)
