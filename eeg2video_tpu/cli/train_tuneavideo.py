@@ -233,14 +233,39 @@ def main(argv=None):
 
     steps_per_epoch = max(len(ds) // args.train_batch_size, 1)
     rng = np.random.default_rng(args.seed)
+    # async checkpoint session + preemption-to-checkpoint (SIGTERM/SIGINT
+    # between epoch dispatches saves a resumable state; the reference's only
+    # recovery point is its every-100-epochs save_pretrained, train L343-382)
+    session = ckpt.CheckpointSession(os.path.join(args.output_dir, "ckpt"))
+    guard = ckpt.PreemptionGuard()
+    with session, guard:
+        _train_loop(args, state, vae_params, post_all, context_all, epoch_fn,
+                    key, rng, steps_per_epoch, metrics, text_emb, ucfg, vcfg,
+                    session, guard)
+
+
+def _train_loop(args, state, vae_params, post_all, context_all, epoch_fn, key,
+                rng, steps_per_epoch, metrics, text_emb, ucfg, vcfg, session,
+                guard):
+    import jax
+    import jax.numpy as jnp
+
     for epoch in range(1, args.epochs + 1):
-        order = rng.permutation(len(ds))[: steps_per_epoch * args.train_batch_size]
+        order = rng.permutation(len(post_all))[: steps_per_epoch * args.train_batch_size]
         perm = order.reshape(steps_per_epoch, args.train_batch_size).astype(np.int32)
         state, ep_loss = epoch_fn(state, vae_params, post_all, context_all,
                                   jnp.asarray(perm), key)
         ep_loss = float(ep_loss)  # one host sync per epoch
         log.info("epoch %d train_loss %.5f", epoch, ep_loss)
         metrics.log(epoch * steps_per_epoch, train_loss=ep_loss, epoch=epoch)
+        if guard.preempted:
+            session.save(epoch, {"params": state.params,
+                                 "opt_state": state.opt_state,
+                                 "step": state.step})
+            log.warning("preemption signal: resumable checkpoint saved @ "
+                        "epoch %d, exiting (resume with --unet_ckpt %s)",
+                        epoch, os.path.join(args.output_dir, "ckpt"))
+            return
         if epoch % args.validation_epochs == 0:
             # sample a few clips with the current weights (reference L343-369)
             from ..diffusion.pipeline import EEG2VideoPipeline
@@ -255,10 +280,11 @@ def main(argv=None):
             save_videos_grid(np.asarray(vids), sample_path)
             log.info("validation samples -> %s", sample_path)
         if epoch % args.checkpointing_epochs == 0 or epoch == args.epochs:
-            ckpt.save_checkpoint(
-                os.path.join(args.output_dir, "ckpt"), epoch,
-                {"params": state.params, "opt_state": state.opt_state,
-                 "step": state.step})
+            # async: the write drains on the session's background thread
+            # while the next epoch trains (CheckpointSession.close waits)
+            session.save(epoch, {"params": state.params,
+                                 "opt_state": state.opt_state,
+                                 "step": state.step})
             # reference checkpoints are a diffusers pipeline directory
             # (pipeline.save_pretrained(output_dir), train L376-382) that
             # its inference reloads by subfolder (inference L50); emit the

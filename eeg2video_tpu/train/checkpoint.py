@@ -75,6 +75,80 @@ def restore_train_state(directory: str, state, step: Optional[int] = None):
         return state.replace(params=params), at
 
 
+class CheckpointSession:
+    """Persistent async checkpointing for a long training run.
+
+    ``save_checkpoint`` opens a manager, blocks until the write is durable,
+    and closes it — right for one-shot saves, wasteful inside a training
+    loop where the device would idle on host serialization.  A session keeps
+    one orbax ``CheckpointManager`` open and lets saves run asynchronously:
+    ``save`` returns once the arrays are snapshotted to host memory and the
+    directory write continues on orbax's background thread while the next
+    epoch trains.  ``close`` (or context exit) drains pending writes.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self._mgr = _mgr(directory, max_to_keep)
+
+    def save(self, step: int, tree: Any):
+        import orbax.checkpoint as ocp
+
+        self._mgr.save(step, args=ocp.args.StandardSave(tree))
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class PreemptionGuard:
+    """Convert SIGTERM/SIGINT into a cooperative shutdown flag.
+
+    The reference has no failure handling at all (SURVEY.md section 5.3: its
+    ``resume_from_checkpoint`` is ignored and the only recovery point is the
+    every-100-epochs ``save_pretrained``).  TPU pods ARE preempted
+    (maintenance events deliver SIGTERM); trainers poll ``preempted``
+    between epoch dispatches and save a final resumable checkpoint instead
+    of dying mid-epoch.  Installed handlers chain to (and are restored to)
+    the previous ones on exit; a second signal falls through to the previous
+    handler immediately, so a double Ctrl-C still force-kills.
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self._signals = signals or (_signal.SIGTERM, _signal.SIGINT)
+        self._prev = {}
+        self.preempted = False
+
+    def _handler(self, signum, frame):
+        if self.preempted:  # second signal: defer to the original handler
+            prev = self._prev.get(signum)
+            if callable(prev):
+                return prev(signum, frame)
+            raise KeyboardInterrupt
+        self.preempted = True
+
+    def __enter__(self):
+        for s in self._signals:
+            self._prev[s] = self._signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+        return False
+
+
 def load_torch_state_dict(path: str):
     """Load a reference ``.pt`` checkpoint into a {name: np.ndarray} dict.
     Handles both raw state dicts and the {'state_dict': ...} wrapper the
