@@ -38,6 +38,8 @@ COMMANDS = [
      "DE features -> 77*768 semantic predictor (--legacy variant)"),
     ("inference_semantic", "checkpoints/Semantic usage",
      "semantic embeddings for the test block"),
+    ("compute_optical_flow", "(no producer in the reference — its score table ships as dataset meta)",
+     "GIF clips -> All_video_optical_flow_score.npy motion scores"),
     ("add_noise", "EEG2Video_New/DANA/add_noise.py",
      "DANA optical-flow-conditioned noising (--replicate_label_bug)"),
     ("train_tuneavideo", "EEG2Video_New/Generation/train_finetune_videodiffusion.py",
@@ -48,6 +50,8 @@ COMMANDS = [
      "SSIM/PSNR/hue/MSE + CLIP/ViT/VideoMAE classification metrics"),
     ("serve", "(no reference counterpart — TPU-native serving surface)",
      "warm-pipeline JSONL generation service on stdin/stdout"),
+    ("run_pipeline", "(no reference counterpart — its stages are run by hand)",
+     "one-command orchestration of all stages, make-style skip/resume"),
 ]
 
 

@@ -11,8 +11,10 @@
 - train_seq2seq_v2 / inference_seq2seq_v2  (Seq2Seq + --normalize/--stats_path)
 - generate_video_latents        (Seq2Seq/generate_1200_latent.py + generate_40classes_latents.py)
 - train_semantic / inference_semantic      (Semantic/eeg_text.py)
+- compute_optical_flow          (no reference producer; emits the DANA score table)
 - add_noise                     (DANA/add_noise.py)
 - train_tuneavideo              (Generation/train_finetune_videodiffusion.py)
 - inference_eeg2video           (Generation/inference_eeg2video.py)
 - run_metrics                   (40_class_run_metrics.py)
+- run_pipeline                  (whole-pipeline orchestration; no reference counterpart)
 """
