@@ -199,7 +199,13 @@ def main(argv=None):
             continue
         importlib.import_module(f"eeg2video_tpu.cli.{mod}").main(stage_argv)
         missing = [o for o in (outputs or []) if not os.path.exists(o)]
-        if missing:
+        if missing and name in extras:
+            # --extra flags can legitimately change what a stage emits
+            # (e.g. gif:--blocks=0 produces only Block0); don't hard-fail
+            log.warning("stage %s: declared outputs %s absent (stage has "
+                        "--extra overrides; skip/resume won't trigger for it)",
+                        name, missing)
+        elif missing:
             raise SystemExit(f"stage {name} ({mod}) did not produce {missing}")
         ran.append((name, mod))
     log.info("pipeline complete: %d stage commands ran, %d skipped",

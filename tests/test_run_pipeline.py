@@ -67,6 +67,70 @@ def test_preprocessing_prefix_runs_and_skips(tmp_path, rng):
     assert len(run_pipeline.main(argv + ["--force"])) == 2
 
 
+def test_gif_flow_dana_chain(tmp_path, monkeypatch, rng):
+    """Execute a heterogeneous stage chain for real: synthesized block mp4 ->
+    extract_gif -> compute_optical_flow -> add_noise, with the Seq2Seq
+    latents pre-seeded.  Pins the orchestrator's actual run path and the
+    NEW flow -> dana artifact handoff at tiny geometry (2 concepts x 2
+    reps, 36x64 GIFs)."""
+    import functools
+
+    cv2 = pytest.importorskip("cv2")
+    from eeg2video_tpu.cli import extract_gif as gif_cli
+    from eeg2video_tpu.data import video as dvideo
+
+    monkeypatch.setattr(meta, "N_CONCEPTS", 2)
+    monkeypatch.setattr(meta, "N_REPS", 2)
+    sched = dvideo.clip_frame_schedule(n_concepts=2, reps=2)
+    monkeypatch.setattr(dvideo, "clip_frame_schedule", lambda *a, **k: sched)
+    monkeypatch.setattr(
+        gif_cli, "extract_gifs_from_block",
+        functools.partial(dvideo.extract_gifs_from_block, height=36, width=64))
+
+    data, out = tmp_path / "d", tmp_path / "o"
+    os.makedirs(data / "Video")
+    wr = cv2.VideoWriter(str(data / "Video" / "1.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), meta.VIDEO_FPS, (64, 48))
+    if not wr.isOpened():
+        pytest.skip("cv2 mp4 encoder unavailable")
+    bar = np.zeros(64, np.float32)
+    bar[16:40] = np.hanning(24)  # smooth bright bar (flow-friendly texture)
+    for i, cid in enumerate(sched):
+        # concept 0 static, concept 1 drifts 1 px/frame (= 8 px per GIF
+        # frame-step after the every-8th-of-48 selection)
+        shift = i if i >= len(sched) // 2 else 0
+        frame = np.zeros((48, 64, 3), np.uint8)
+        frame[:] = (np.roll(bar, shift % 64) * 255)[None, :, None]
+        wr.write(frame)
+    wr.release()
+
+    # pre-seed the Seq2Seq stage output (its trainer is covered elsewhere)
+    s2s = out / "seq2seq" / "latent_out_block7_40_classes.npy"
+    os.makedirs(s2s.parent)
+    np.save(s2s, rng.standard_normal((4, 6, 4, 6, 8)).astype(np.float32))
+
+    ran = run_pipeline.main(
+        ["--data_root", str(data), "--out_root", str(out),
+         "--stages", "gif", "flow", "dana",
+         "--extra", "gif:--blocks=0", "flow:--blocks=1", "flow:--iters=30",
+         "dana:--block=0", "dana:--threshold=0.5",
+         # tiny geometry can't use the real 40-concept GT_LABEL reorder
+         "dana:--replicate_label_bug"])
+    assert [n for n, _ in ran] == ["gif", "flow", "dana"]
+
+    table = np.load(data / "meta_info" / "All_video_optical_flow_score.npy")
+    assert table.shape == (1, 4)
+    # the fast concept's two clips out-score the slow concept's two
+    assert table[0, 2:].min() > table[0, :2].max()
+
+    import torch
+
+    noised = torch.load(out / "dana" / "40_classes_latent_add_noise.pt",
+                        weights_only=False)
+    assert tuple(noised.shape) == (4, 6, 4, 6, 8)
+    assert np.isfinite(np.asarray(noised)).all()
+
+
 def test_extra_passthrough_parsing(tmp_path, caplog):
     import logging
 
