@@ -38,6 +38,9 @@ KNOBS = {
     "disable_cross": False,
     "disable_temporal": False,
     "disable_ff": False,
+    # route temporal attention through the XLA rowwise formulation instead
+    # of the fused ops.temporal Pallas kernel (ablation / parity oracle)
+    "temporal_rowwise": False,
 }
 
 
@@ -251,17 +254,24 @@ class TemporalAttentionUnrolled(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, train: bool = False):
         b, f, l, c = x.shape
         inner = self.heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
-        split = lambda t: t.reshape(b, f, l, self.heads, self.head_dim)
-        qs, ks, vs = split(q), split(k), split(v)
         scale = float(1.0 / np.sqrt(self.head_dim))
-        # rowwise F x F math with a hand-written vjp (_temporal_core)
-        out = _temporal_core(qs, ks, vs, scale).reshape(b, f, l, inner)
+        if KNOBS.get("temporal_rowwise") or not train:
+            # XLA rowwise fallback / ablation oracle (_temporal_core)
+            split = lambda t: t.reshape(b, f, l, self.heads, self.head_dim)
+            out = _temporal_core(split(q), split(k), split(v),
+                                 scale).reshape(b, f, l, inner)
+        else:
+            # one Pallas pass per row block: q/k/v (and dout in the vjp)
+            # leave HBM once instead of once per (fi, gi) pair
+            from ..ops.temporal import temporal_attention
+
+            out = temporal_attention(q, k, v, self.heads, scale)
         return nn.Dense(c, kernel_init=nn.initializers.zeros,
                         dtype=self.dtype, name="to_out")(out)
 
@@ -416,7 +426,7 @@ class BasicTransformerBlock(nn.Module):
             ht = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_temp")(x)
             x = x + TemporalAttentionUnrolled(
                 self.heads, self.head_dim, dtype=self.dtype, name="attn_temp"
-            )(ht)
+            )(ht, train=train)
         return x
 
 

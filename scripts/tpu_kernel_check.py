@@ -13,7 +13,8 @@ Covers: packed flash attention (plain / biased / dual-KV sparse-causal,
 forward + backward), the legacy (B,H,L,D) flash kernel, the whole-FF and
 geglu kernels (forward + Pallas dx backward), the fused transposed
 implicit-GEMM conv (plain / prologue+temb / stats epilogue, + vjp wiring),
-weight-only-int8 dense, and the matmul-DFT DE/PSD path vs the f64 oracle.
+weight-only-int8 dense, the fused temporal (frame-axis) attention
+(forward + backward), and the matmul-DFT DE/PSD path vs the f64 oracle.
 """
 
 import sys
@@ -248,6 +249,32 @@ def main():
                    preferred_element_type=jnp.float32)
            * jnp.asarray(w_s)[None, :])[:, :nd] + bd[None, :]
     check("int8 dense kernel", out, ref, 1e-3)
+
+    # ---- fused temporal attention (frame-axis), level-0 geometry ----
+    from eeg2video_tpu.ops.temporal import temporal_attention
+
+    Nt, Ft, Lt = 2, 6, 2304
+    qt = jnp.asarray(rng.standard_normal((Nt, Ft, Lt, HD)), jnp.bfloat16)
+    kt = jnp.asarray(rng.standard_normal((Nt, Ft, Lt, HD)), jnp.bfloat16)
+    vt = jnp.asarray(rng.standard_normal((Nt, Ft, Lt, HD)), jnp.bfloat16)
+
+    def temporal_ref(q, k, v):
+        split = lambda t: t.astype(jnp.float32).reshape(Nt, Ft, Lt, H, D)
+        qs, ks, vs = split(q), split(k), split(v)
+        logits = jnp.einsum("nflhd,nglhd->nlhfg", qs * scale, ks)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("nlhfg,nglhd->nflhd", p, vs).reshape(Nt, Ft, Lt, HD)
+
+    out = temporal_attention(qt, kt, vt, H, scale)
+    ref = f32_oracle(lambda: temporal_ref(qt, kt, vt))
+    check("temporal attention fwd", out, ref, 2e-2)
+
+    gf = jax.grad(lambda *a: sumsq(temporal_attention(*a, H, scale)),
+                  argnums=(0, 1, 2))(qt, kt, vt)
+    gr = f32_oracle(lambda: jax.grad(
+        lambda *a: sumsq(temporal_ref(*a)), argnums=(0, 1, 2))(qt, kt, vt))
+    for name, a, b in zip(("dq", "dk", "dv"), gf, gr):
+        check(f"temporal attention bwd {name}", a, b, 4e-2)
 
     # ---- matmul-DFT DE/PSD vs the f64 oracle ----
     from eeg2video_tpu.dsp.de_psd import de_psd, de_psd_numpy
