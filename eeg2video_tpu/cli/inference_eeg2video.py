@@ -162,9 +162,10 @@ def main(argv=None):
                         "equivalent, float32 the parity mode)")
     p.add_argument("--seed", type=int, default=114514)
     p.add_argument("--gif_encoder", default="imageio",
-                   choices=("imageio", "fast"),
-                   help="imageio = reference mimsave encode; fast = shared-"
-                        "palette PIL encode, ~28x faster per clip")
+                   choices=("imageio", "fast", "native"),
+                   help="imageio = reference mimsave encode (parity default); "
+                        "fast = shared-palette PIL encode, ~28x faster per "
+                        "clip; native = C++ encoder (csrc/gif_encoder.cpp)")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel generation over a device mesh "
                         "(0 = single device; batch must divide by dp)")

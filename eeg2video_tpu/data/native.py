@@ -200,3 +200,60 @@ def decode_clips(paths, width: int, height: int, n_frames: int,
         out[i] = 0.0
         out[i, :len(clip)] = clip
     return out
+
+
+# --- native GIF encoder ------------------------------------------------------
+
+_GLIB_PATH = os.path.join(os.path.dirname(__file__), "..", "_native",
+                          "libgifencoder.so")
+_glib = None
+
+
+def _load_gif_lib():
+    global _glib
+    if _glib is not None:
+        return _glib
+    path = os.path.abspath(_GLIB_PATH)
+    if not os.path.exists(path):
+        script = os.path.join(os.path.dirname(path), "..", "..", "scripts",
+                              "build_native.sh")
+        try:
+            subprocess.run(["bash", os.path.abspath(script)], check=True,
+                           capture_output=True, timeout=300)
+        except Exception:
+            return None
+        if not os.path.exists(path):
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.gif_encode_rgb.restype = ctypes.c_int
+    lib.gif_encode_rgb.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_char_p]
+    _glib = lib
+    return lib
+
+
+def gif_encoder_available() -> bool:
+    return _load_gif_lib() is not None
+
+
+def write_gif_native(path: str, frames: np.ndarray, duration_ms: float) -> None:
+    """Write (F, H, W, 3) uint8 frames as a looping GIF via the C++ encoder
+    (csrc/gif_encoder.cpp): shared median-cut palette, 5-bit inverse-lattice
+    pixel mapping, threaded per-frame LZW.  Raises RuntimeError on failure
+    (callers fall back to the Pillow path)."""
+    lib = _load_gif_lib()
+    if lib is None:
+        raise RuntimeError("native gif encoder unavailable")
+    frames = np.ascontiguousarray(frames, np.uint8)
+    f, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError(f"expected RGB frames, got {frames.shape}")
+    rc = lib.gif_encode_rgb(frames.ctypes.data_as(ctypes.c_void_p),
+                            f, h, w, max(int(round(duration_ms / 10.0)), 1),
+                            path.encode())
+    if rc != 0:
+        raise RuntimeError(f"gif_encode_rgb failed with code {rc}")

@@ -190,9 +190,11 @@ def save_videos_grid(videos: np.ndarray, path: str, n_rows: int = 4,
     """(B, F, H, W, 3) in [0,1] -> grid GIF (reference tuneavideo/util.py:20-32).
 
     ``encoder``: "imageio" (the reference's mimsave path, per-frame adaptive
-    palettes) or "fast" (shared palette, see _write_gif_fast) — the serving
-    path's default, where the 0.8 s/clip imageio encode dominated request
-    latency over the 5.45 s generation."""
+    palettes), "fast" (shared Pillow palette, see _write_gif_fast), or
+    "native" (the C++ csrc/gif_encoder.cpp: shared median-cut palette,
+    threaded LZW, no GIL — falls back to "fast" if the library is absent).
+    The serving path defaults to the best available; the 0.8 s/clip imageio
+    encode dominated request latency over the 5.45 s generation."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     b, f, h, w, c = videos.shape
     cols = min(n_rows, b)
@@ -204,6 +206,14 @@ def save_videos_grid(videos: np.ndarray, path: str, n_rows: int = 4,
             r, cc = divmod(i, cols)
             grid[r * h:(r + 1) * h, cc * w:(cc + 1) * w] = videos[i, t]
         frames.append((grid * 255).astype(np.uint8))
+    if encoder == "native":
+        from .native import write_gif_native
+
+        try:
+            write_gif_native(path, np.stack(frames), 1000.0 / fps)
+            return
+        except (RuntimeError, OSError):
+            encoder = "fast"
     if encoder == "fast":
         _write_gif_fast(path, frames, 1000.0 / fps)
     else:

@@ -6,6 +6,9 @@ mkdir -p eeg2video_tpu/_native
 g++ -O3 -march=native -shared -fPIC -pthread -std=c++17 \
     csrc/npy_loader.cpp -o eeg2video_tpu/_native/libnpyloader.so
 echo "built eeg2video_tpu/_native/libnpyloader.so"
+g++ -O3 -march=native -shared -fPIC -pthread -std=c++17 \
+    csrc/gif_encoder.cpp -o eeg2video_tpu/_native/libgifencoder.so
+echo "built eeg2video_tpu/_native/libgifencoder.so"
 
 # video decoder needs opencv4 (headers + libs in the image); optional
 if pkg-config --exists opencv4; then
