@@ -181,11 +181,20 @@ def main(argv=None):
     n_dev = len(jax.devices())
     tp = max(args.tp, 1)
     dp = args.dp if args.dp > 0 else max(n_dev // tp, 1)
+    if args.train_batch_size % dp != 0:
+        # dp shards the batch; an indivisible split would leave GSPMD
+        # proposing partial batch shardings the Pallas-kernel partitioners
+        # cannot express.  Clamp to the largest divisor (a subset mesh —
+        # the extra devices idle, as they would under the reference's DDP
+        # with fewer samples than processes).
+        dp = max(d for d in range(1, dp + 1) if args.train_batch_size % d == 0)
+        log.warning("train_batch_size %d not divisible by dp: clamped dp to %d",
+                    args.train_batch_size, dp)
     mesh = None
     if dp * tp > 1:
         from ..parallel import make_mesh, shard_params
 
-        mesh = make_mesh(dp=dp, tp=tp)
+        mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
         if args.fsdp:
             from ..parallel import shard_params_fsdp
 
@@ -202,6 +211,21 @@ def main(argv=None):
         # resume_from_checkpoint is accepted and ignored, train L91);
         # params-only checkpoints restore with fresh optimizer state
         state, step0 = ckpt.restore_train_state(args.unet_ckpt, state)
+        if mesh is not None:
+            # orbax restores template-sharded leaves (params/moments) onto
+            # the mesh, but scalar leaves (step, optimizer counts) come back
+            # committed to a single device — mixed device sets fail the
+            # jitted epoch.  Replicate anything not mesh-sharded.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+
+            def _fix(x):
+                if isinstance(getattr(x, "sharding", None), NamedSharding):
+                    return x
+                return jax.device_put(x, repl)
+
+            state = jax.tree.map(_fix, state)
         log.info("resumed from checkpoint step %s (state.step=%d)",
                  step0, int(state.step))
     epoch_fn = make_video_train_epoch(ucfg, vcfg, tcfg, mesh=mesh)

@@ -203,3 +203,84 @@ def test_reference_config_schema_mapping():
     import pytest
     with pytest.raises(SystemExit):
         apply_reference_config(fresh_args(), {"trainable_modules": ["attn1.to_k"]})
+
+
+def test_train_cli_preemption_saves_resumable_checkpoint(tmp_path, monkeypatch):
+    """SIGTERM mid-run: the CLI's PreemptionGuard converts it to a flag, the
+    loop saves {params, opt_state, step} after the in-flight epoch, skips
+    the remaining epochs, and the checkpoint resumes via --unet_ckpt."""
+    import signal
+
+    import jax
+    from eeg2video_tpu.cli import train_tuneavideo as cli
+    from eeg2video_tpu.models.vae import AutoencoderKL
+    from eeg2video_tpu.train import videodiffusion as vd
+
+    tiny_u = UNet3DConfig(block_out_channels=(32, 64, 64, 64),
+                          attention_heads=4, cross_attention_dim=768,
+                          norm_num_groups=8)
+    tiny_v = VAEConfig.tiny()
+    monkeypatch.setattr(cli, "UNet3DConfig", lambda: tiny_u)
+    monkeypatch.setattr(cli, "VAEConfig", lambda: tiny_v)
+    monkeypatch.setattr(
+        cli, "VideoClipDataset",
+        functools.partial(VideoClipDataset, width=32, height=32,
+                          n_sample_frames=2, sample_frame_rate=1))
+
+    # deliver SIGTERM from inside the first epoch dispatch (the guard is
+    # installed by then; the loop polls the flag right after the epoch)
+    real_make = cli.make_video_train_epoch
+
+    def make_with_sigterm(*a, **kw):
+        fn = real_make(*a, **kw)
+
+        def wrapped(*args):
+            os.kill(os.getpid(), signal.SIGTERM)
+            return fn(*args)
+
+        return wrapped
+
+    monkeypatch.setattr(cli, "make_video_train_epoch", make_with_sigterm)
+
+    vdir = tmp_path / "videos"
+    os.makedirs(vdir)
+    for i in range(4):
+        _write_clip(vdir / f"{i + 1}.mp4", seed=i)
+    np.save(tmp_path / "text_emb.npy", np.random.default_rng(1)
+            .standard_normal((4, 77, 768)).astype(np.float32))
+    vae = AutoencoderKL(tiny_v)
+    vae_params = vae.init(jax.random.key(0),
+                          jnp.zeros((1, 32, 32, 3), jnp.float32))["params"]
+    ckpt.save_checkpoint(str(tmp_path / "vae"), 0, {"params": vae_params})
+
+    out = tmp_path / "out"
+    argv = [
+        "--video_dir", str(vdir),
+        "--text_embeddings", str(tmp_path / "text_emb.npy"),
+        "--vae", str(tmp_path / "vae"),
+        "--output_dir", str(out),
+        "--epochs", "50", "--train_batch_size", "2",
+        "--checkpointing_epochs", "100", "--validation_epochs", "100",
+    ]
+    cli.main(argv)
+    # handlers restored, checkpoint saved at epoch 1, loop stopped early
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    state, step = ckpt.restore_checkpoint(str(out / "ckpt"))
+    assert step == 1
+    assert set(state) == {"params", "opt_state", "step"}
+    steps_per_epoch = 2  # 4 clips / batch 2
+    assert int(np.asarray(state["step"])) == steps_per_epoch
+
+    # and it resumes: a fresh run restoring --unet_ckpt continues from there
+    monkeypatch.setattr(cli, "make_video_train_epoch", real_make)
+    cli.main([
+        "--video_dir", str(vdir),
+        "--text_embeddings", str(tmp_path / "text_emb.npy"),
+        "--vae", str(tmp_path / "vae"),
+        "--output_dir", str(tmp_path / "out2"),
+        "--unet_ckpt", str(out / "ckpt"),
+        "--epochs", "1", "--train_batch_size", "2",
+        "--checkpointing_epochs", "1", "--validation_epochs", "100",
+    ])
+    state2, _ = ckpt.restore_checkpoint(str(tmp_path / "out2" / "ckpt"))
+    assert int(np.asarray(state2["step"])) == 2 * steps_per_epoch
