@@ -69,13 +69,25 @@ static void median_cut(std::vector<uint32_t> samples, uint8_t palette[256][3],
     Box& b = boxes[best];
     int ch = b.longest_channel();
     int shift = (2 - ch) * 8;
+    auto val = [shift](uint32_t p) { return (p >> shift) & 0xff; };
     std::nth_element(b.pixels.begin(), b.pixels.begin() + b.pixels.size() / 2,
-                     b.pixels.end(), [shift](uint32_t a, uint32_t c) {
-                       return ((a >> shift) & 0xff) < ((c >> shift) & 0xff);
+                     b.pixels.end(), [&](uint32_t a, uint32_t c) {
+                       return val(a) < val(c);
                      });
+    // split at a VALUE boundary, not the median position: a position split
+    // scatters every color sharing the median channel value across both
+    // halves (they are not sorted within equal values), duplicating colors
+    // and exhausting the box budget before distinct colors are isolated
+    uint32_t mid = val(b.pixels[b.pixels.size() / 2]);
+    auto above = std::partition(b.pixels.begin(), b.pixels.end(),
+                                [&](uint32_t p) { return val(p) <= mid; });
+    if (above == b.pixels.end()) {  // median value == max: split below it
+      above = std::partition(b.pixels.begin(), b.pixels.end(),
+                             [&](uint32_t p) { return val(p) < mid; });
+    }
     Box hi;
-    hi.pixels.assign(b.pixels.begin() + b.pixels.size() / 2, b.pixels.end());
-    b.pixels.resize(b.pixels.size() / 2);
+    hi.pixels.assign(above, b.pixels.end());
+    b.pixels.resize(above - b.pixels.begin());
     boxes.push_back(std::move(hi));
   }
   *n_colors = (int)boxes.size();

@@ -78,6 +78,23 @@ def test_save_videos_grid_native_encoder(tmp_path, rng):
     assert back[0].shape[:2] == (24, 64)  # 1x2 grid
 
 
+def test_lossless_on_lattice_colors(tmp_path, rng):
+    """Frames whose colors sit on the 5-bit inverse-lattice cell centers
+    (r*8+4) with <=256 unique colors must round-trip EXACTLY: median-cut
+    boxes converge to the exact colors, the lattice maps each to itself,
+    so any pixel difference is an LZW/bitstream bug.  Random content at
+    64x96 overflows the 4096-code dictionary, covering the clear-code
+    reset and every code-width increment."""
+    import imageio
+
+    vals = np.array([4, 60, 124, 188, 252], np.uint8)  # lattice centers
+    frames = vals[rng.integers(0, 5, (3, 64, 96, 3))]  # <=125 unique colors
+    path = str(tmp_path / "exact.gif")
+    native.write_gif_native(path, frames, 100.0)
+    back = np.stack([f[..., :3] for f in imageio.mimread(path)])
+    np.testing.assert_array_equal(back, frames)
+
+
 def test_dict_reset_on_long_noise(tmp_path, rng):
     """Noise frames overflow the 4096-code LZW dictionary many times; the
     clear-code reset path must still decode exactly."""
