@@ -81,8 +81,10 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999,
 
         def upd(g, mq, ms, vq, vs):
             gf = g.astype(jnp.float32)
-            if not g.ndim:
+            if not g.ndim:  # scalar leaves: treat as one row of one element
                 gf = gf.reshape(1)
+                mq = mq.reshape(1)
+                vq = vq.reshape(1)
             # m is stored as sign(m)*sqrt(|m|) (signed sqrt-space): linear
             # int8 rounds coordinates below ~1/254 of the row max to zero
             # and the resulting noise floor stalls convergence ~100x above

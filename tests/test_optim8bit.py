@@ -101,3 +101,28 @@ def test_videodiffusion_masked_8bit_wiring(rng):
     u, _ = tx.update(g, state, params)
     assert float(jnp.abs(u["up0"]["attn_temp"]["to_q"]["kernel"]).sum()) > 0
     assert float(jnp.abs(u["up0"]["conv1"]["kernel"]).sum()) == 0  # frozen
+
+
+def test_scalar_param_leaves(rng):
+    """Scalar (0-d) parameter leaves update without error and track f32 Adam
+    (regression: the per-row reduces used axis=-1 on the 0-d stored moments
+    and crashed at trace time)."""
+    import optax
+
+    from eeg2video_tpu.train.optim import adam8bit
+
+    params = {"w": jnp.asarray(rng.standard_normal((8, 16)), jnp.float32),
+              "s": jnp.asarray(0.5, jnp.float32)}
+    tx8 = adam8bit(1e-2)
+    txf = optax.adam(1e-2)
+    p8 = jax.tree.map(jnp.copy, params)
+    pf = jax.tree.map(jnp.copy, params)
+    s8, sf = tx8.init(p8), txf.init(pf)
+    for i in range(10):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(np.cos(np.asarray(p) + i), jnp.float32), p8)
+        u8, s8 = tx8.update(grads, s8, p8)
+        p8 = optax.apply_updates(p8, u8)
+        uf, sf = txf.update(grads, sf, pf)
+        pf = optax.apply_updates(pf, uf)
+    np.testing.assert_allclose(float(p8["s"]), float(pf["s"]), atol=5e-3)
