@@ -24,6 +24,10 @@ every flag documented there still applies via ``--extra``):
     generate           semantic embeddings (+ latents) -> GIFs
     metrics            SSIM/MSE/... vs ground-truth GIFs
 
+Optional benchmark side-chains (selectable via ``--stages``, not run by
+default): ``sw`` (500 ms sliding windows), ``de_sw`` (DE/PSD 1per500ms),
+``de_1per1s``, ``eegvp`` (the 7-fold classification benchmark), ``glmnet``.
+
 ``--stages`` selects a subset (dependencies are NOT auto-added — earlier
 stage outputs must exist); ``--dry_run`` prints the resolved per-stage argv
 without running anything.
@@ -96,6 +100,33 @@ def _stage_list(a):
          ["--pred_dir", gen_dir, "--gt_dir", os.path.join(gifs, "Block6"),
           "--out", os.path.join(out, "metrics.json")],
          [os.path.join(out, "metrics.json")]),
+        # --- optional benchmark stages (not in DEFAULT_STAGES; select with
+        # --stages): the EEG-VP classification benchmark and the GLMNet
+        # encoder, which need the sliding-window feature variants ---
+        ("sw", "segment_sliding_window",
+         ["--input_dir", seg,
+          "--output_dir", os.path.join(pre, "Segmented_500ms_sw")],
+         [os.path.join(pre, "Segmented_500ms_sw", f"sub{sub}.npy")]),
+        ("de_sw", "extract_de_psd_features",
+         ["--mode", "1per500ms",
+          "--raw_dir", os.path.join(pre, "Segmented_500ms_sw"),
+          "--de_dir", os.path.join(pre, "DE_1per500ms"),
+          "--psd_dir", os.path.join(pre, "PSD_1per500ms"), "--subs", str(sub)],
+         [os.path.join(pre, "DE_1per500ms", f"sub{sub}.npy")]),
+        ("de_1per1s", "extract_de_psd_features",
+         ["--mode", "1per1s", "--raw_dir", seg,
+          "--de_dir", os.path.join(pre, "DE_1per1s"),
+          "--psd_dir", os.path.join(pre, "PSD_1per1s"), "--subs", str(sub)],
+         [os.path.join(pre, "DE_1per1s", f"sub{sub}.npy")]),
+        ("eegvp", "eegvp_train_test",
+         ["--feature_dir", os.path.join(pre, "DE_1per1s"),
+          "--out_dir", os.path.join(out, "eegvp"), "--subs", str(sub)],
+         [os.path.join(out, "eegvp")]),
+        ("glmnet", "train_glmnet",
+         ["--raw_dir", os.path.join(pre, "Segmented_500ms_sw"),
+          "--de_dir", os.path.join(pre, "DE_1per500ms"), "--sub", str(sub),
+          "--save_path", os.path.join(out, "glmnet")],
+         [os.path.join(out, "glmnet")]),
     ]
 
     # composite stages (multiple CLI invocations)
@@ -151,6 +182,8 @@ def _stage_list(a):
 DEFAULT_STAGES = ["segment", "de_psd", "gif", "latents", "text_emb",
                   "semantic", "seq2seq", "flow", "dana", "finetune",
                   "generate", "metrics"]
+# selectable via --stages but not run by default (benchmark side-chains)
+OPTIONAL_STAGES = ["sw", "de_sw", "de_1per1s", "eegvp", "glmnet"]
 
 
 def main(argv=None):
@@ -160,7 +193,8 @@ def main(argv=None):
     p.add_argument("--out_root", default="./outputs")
     p.add_argument("--sub", type=int, default=1)
     p.add_argument("--stages", nargs="*", default=None,
-                   help=f"subset of {DEFAULT_STAGES} (ordered automatically)")
+                   help=f"subset of {DEFAULT_STAGES} + optional "
+                        f"{OPTIONAL_STAGES} (ordered automatically)")
     p.add_argument("--dry_run", action="store_true",
                    help="print the per-stage argv and skip/run decision only")
     p.add_argument("--force", action="store_true", help="rerun even if outputs exist")
@@ -179,7 +213,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     selected = args.stages if args.stages else DEFAULT_STAGES
-    unknown = set(selected) - set(DEFAULT_STAGES)
+    unknown = set(selected) - set(DEFAULT_STAGES) - set(OPTIONAL_STAGES)
     if unknown:
         raise SystemExit(f"unknown stages: {sorted(unknown)}")
 

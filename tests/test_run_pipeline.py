@@ -66,6 +66,20 @@ def test_preprocessing_prefix_runs_and_skips(tmp_path, rng):
     # --force reruns
     assert len(run_pipeline.main(argv + ["--force"])) == 2
 
+    # optional benchmark side-chain (sw -> de_sw -> de_1per1s) runs off the
+    # same segment outputs; eegvp/glmnet argv wiring is dry-run-verified
+    side = ["--data_root", str(data), "--out_root", str(tmp_path / "out"),
+            "--stages", "sw", "de_sw", "de_1per1s"]
+    ran2 = run_pipeline.main(side)
+    assert [n for n, _ in ran2] == ["sw", "de_sw", "de_1per1s"]
+    sw = data / "Preprocessing" / "Segmented_500ms_sw" / "sub1.npy"
+    assert np.load(sw).shape == meta.SHAPES["segmented_500ms_sw"]
+    assert np.load(data / "Preprocessing" / "DE_1per500ms" / "sub1.npy").shape \
+        == meta.SHAPES["de_1per500ms"]
+    assert np.load(data / "Preprocessing" / "DE_1per1s" / "sub1.npy").shape \
+        == meta.SHAPES["de_1per1s"]
+    run_pipeline.main(side[:-3] + ["--stages", "eegvp", "glmnet", "--dry_run"])
+
 
 def test_gif_flow_dana_chain(tmp_path, monkeypatch, rng):
     """Execute a heterogeneous stage chain for real: synthesized block mp4 ->
