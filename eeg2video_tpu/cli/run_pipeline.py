@@ -231,6 +231,12 @@ def main(argv=None):
         log.info("[%s] %s: %s %s", tag, name, mod, " ".join(stage_argv))
         if args.dry_run or done:
             continue
+        if name == "text_emb" and not (args.torch_clip and args.tokenizer):
+            # the CLIP weights are external inputs; without them the stage's
+            # required args would abort the whole pipeline mid-run
+            log.warning("skip text_emb: requires --torch_clip and --tokenizer "
+                        "(pre-place %s to satisfy downstream stages)", outputs)
+            continue
         importlib.import_module(f"eeg2video_tpu.cli.{mod}").main(stage_argv)
         missing = [o for o in (outputs or []) if not os.path.exists(o)]
         if missing and name in extras:

@@ -144,7 +144,7 @@ def _row_block(l):
     for bl in _BLOCKS:
         if lp % bl == 0 and bl <= lp:
             return lp, bl
-    return -(-lp // 256) * 256, 256
+    raise AssertionError(f"unreachable: 16 divides lp={lp}")  # 16 in _BLOCKS
 
 
 def _pad_rows(x, lp):

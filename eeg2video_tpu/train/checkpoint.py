@@ -139,8 +139,16 @@ class PreemptionGuard:
         self.preempted = True
 
     def __enter__(self):
-        for s in self._signals:
-            self._prev[s] = self._signal.signal(s, self._handler)
+        try:
+            for s in self._signals:
+                self._prev[s] = self._signal.signal(s, self._handler)
+        except ValueError:
+            # signal handlers only install from the main thread (e.g. the
+            # trainer embedded in a server worker): restore what we set and
+            # degrade to a guard that never trips
+            for s, prev in self._prev.items():
+                self._signal.signal(s, prev)
+            self._prev = {}
         return self
 
     def __exit__(self, *exc):
