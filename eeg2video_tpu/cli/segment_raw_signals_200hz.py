@@ -27,10 +27,14 @@ def main(argv=None):
         help="optional zero-phase Butterworth bandpass (Hz) applied to the "
              "raw signal before segmentation (BASELINE.md preprocessing path)")
     p.add_argument("--bandpass_order", type=int, default=4)
+    p.add_argument("--mmap", action="store_true",
+                   help="memory-map the raw file instead of loading it "
+                        "(reference use_mmap, segment_raw_signals_200Hz.py:47 "
+                        "— a whole-session raw file is ~0.5 GB/subject)")
     args = p.parse_args(argv)
 
     for sub, path in subject_files(args.eeg_root, args.subs):
-        data = np.load(path)
+        data = np.load(path, mmap_mode="r" if args.mmap else None)
         if args.bandpass is not None:
             low, high = args.bandpass
             data = np.asarray(

@@ -29,6 +29,12 @@ def test_preprocessing_cli_chain(tmp_path, rng):
     segs = np.load(seg_dir / "sub1.npy")
     assert segs.shape == meta.SHAPES["segmented_raw_2s"]
 
+    # --mmap (the reference's np.load(..., mmap_mode="r"), L47): identical
+    seg_dir_m = tmp_path / "seg_mmap"
+    segment_raw_signals_200hz.main([
+        "--eeg_root", str(eeg_root), "--output_dir", str(seg_dir_m), "--mmap"])
+    np.testing.assert_array_equal(np.load(seg_dir_m / "sub1.npy"), segs)
+
     sw_dir = tmp_path / "sw"
     segment_sliding_window.main([
         "--input_dir", str(seg_dir), "--output_dir", str(sw_dir)])
