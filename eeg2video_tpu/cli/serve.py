@@ -24,7 +24,8 @@ Replies: {"id": "r1", "ok": true, "gifs": ["gifs/0.gif", ...],
           gif_encoder) default to the CLI flags and can be overridden per
           request — note a new (batch, steps, size) combination recompiles.
           GIF encodes overlap with device compute on writer threads; the
-          default encoder is the fast shared-palette one (data.video).
+          default encoder is the native C++ one (csrc/gif_encoder.cpp,
+          falling back to the Pillow shared-palette path if unbuilt).
 """
 
 import argparse
@@ -130,11 +131,14 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--video_length", type=int, default=6)
     p.add_argument("--seed", type=int, default=114514)
-    p.add_argument("--gif_encoder", default="fast",
-                   choices=("fast", "imageio"),
-                   help="fast = shared-palette PIL encode (~28x faster, the "
-                        "serving default); imageio = the reference's mimsave "
-                        "path; overridable per request")
+    p.add_argument("--gif_encoder", default="native",
+                   choices=("native", "fast", "imageio"),
+                   help="native = C++ shared-palette encoder (csrc/"
+                        "gif_encoder.cpp, GIL-free, the serving default; "
+                        "falls back to fast if unbuilt); fast = shared-"
+                        "palette PIL encode (~28x faster than imageio); "
+                        "imageio = the reference's mimsave path; "
+                        "overridable per request")
     p.add_argument("--max_batch", type=int, default=1,
                    help="clips per device dispatch; every distinct batch "
                         "shape compiles its own graph, so 1 keeps a single "
