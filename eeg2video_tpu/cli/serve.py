@@ -45,13 +45,16 @@ from .inference_eeg2video import load_pipeline
 log = get_logger(__name__)
 
 
-def _generate(pipe, key, emb, negative, latents, out_dir, args, req):
+def _generate(pipe, key, emb, negative, latents, out_dir, args, req,
+              names=None):
     import jax
 
     g = lambda name: req.get(name, getattr(args, name))
     os.makedirs(out_dir, exist_ok=True)
     gifs = []
     n = len(emb)
+    if names is None:
+        names = list(range(n))
     bs = args.max_batch
     # encode on writer threads, dispatch batch s+1 before transferring batch
     # s — request latency is device time + the LAST batch's encode only
@@ -63,7 +66,7 @@ def _generate(pipe, key, emb, negative, latents, out_dir, args, req):
         videos, s, m = p
         videos = np.asarray(videos)
         for j in range(m):
-            path = os.path.join(out_dir, f"{s + j}.gif")
+            path = os.path.join(out_dir, f"{names[s + j]}.gif")
             writer.submit(videos[j:j + 1], path)
             gifs.append(path)
 
@@ -108,7 +111,10 @@ def handle(pipe, args, req):
     out_dir = req.get("out_dir") or args.out_dir
     key = jax.random.key(int(req.get("seed", args.seed)))
     t0 = time.time()
-    gifs = _generate(pipe, key, emb, negative, latents, out_dir, args, req)
+    # GIFs are named by the requested embedding index (clip identity), so
+    # two requests sharing an out_dir write distinct files
+    gifs = _generate(pipe, key, emb, negative, latents, out_dir, args, req,
+                     names=idx)
     return {"ok": True, "gifs": gifs, "clips": len(gifs),
             "latency_s": round(time.time() - t0, 3)}
 
