@@ -24,7 +24,13 @@ namespace {
 
 struct Box {
   std::vector<uint32_t> pixels;  // packed 0xRRGGBB samples
-  int longest_channel() const {
+  int ch = 0;   // longest channel (argmax range), cached
+  int rng = 0;  // that channel's range, cached
+  // One stats pass per box CREATION/SPLIT: the selection loop in median_cut
+  // runs up to 255 iterations over all boxes, and rescanning every box's
+  // full pixel set there cost O(splits * total_samples) (~14M min/max
+  // passes per 6x288x512 clip) on the serving hot path.
+  void update_stats() {
     uint8_t lo[3] = {255, 255, 255}, hi[3] = {0, 0, 0};
     for (uint32_t p : pixels) {
       uint8_t c[3] = {(uint8_t)(p >> 16), (uint8_t)(p >> 8), (uint8_t)p};
@@ -33,21 +39,11 @@ struct Box {
         hi[i] = std::max(hi[i], c[i]);
       }
     }
-    int best = 0, range = -1;
+    ch = 0;
+    rng = -1;
     for (int i = 0; i < 3; i++)
-      if (hi[i] - lo[i] > range) { range = hi[i] - lo[i]; best = i; }
-    return best;
-  }
-  int range() const {
-    uint8_t lo[3] = {255, 255, 255}, hi[3] = {0, 0, 0};
-    for (uint32_t p : pixels) {
-      uint8_t c[3] = {(uint8_t)(p >> 16), (uint8_t)(p >> 8), (uint8_t)p};
-      for (int i = 0; i < 3; i++) {
-        lo[i] = std::min(lo[i], c[i]);
-        hi[i] = std::max(hi[i], c[i]);
-      }
-    }
-    return std::max({hi[0] - lo[0], hi[1] - lo[1], hi[2] - lo[2]});
+      if (hi[i] - lo[i] > rng) { rng = hi[i] - lo[i]; ch = i; }
+    if (pixels.empty()) rng = 0;
   }
 };
 
@@ -56,18 +52,19 @@ static void median_cut(std::vector<uint32_t> samples, uint8_t palette[256][3],
                        int* n_colors) {
   std::vector<Box> boxes(1);
   boxes[0].pixels = std::move(samples);
+  boxes[0].update_stats();
   while ((int)boxes.size() < 256) {
     // split the box with the largest channel range (weighted by population)
     int best = -1;
     double best_score = 0;
     for (size_t i = 0; i < boxes.size(); i++) {
       if (boxes[i].pixels.size() < 2) continue;
-      double score = (double)boxes[i].range() * boxes[i].pixels.size();
+      double score = (double)boxes[i].rng * boxes[i].pixels.size();
       if (score > best_score) { best_score = score; best = (int)i; }
     }
     if (best < 0 || best_score == 0) break;
     Box& b = boxes[best];
-    int ch = b.longest_channel();
+    int ch = b.ch;
     int shift = (2 - ch) * 8;
     auto val = [shift](uint32_t p) { return (p >> shift) & 0xff; };
     std::nth_element(b.pixels.begin(), b.pixels.begin() + b.pixels.size() / 2,
@@ -88,6 +85,8 @@ static void median_cut(std::vector<uint32_t> samples, uint8_t palette[256][3],
     Box hi;
     hi.pixels.assign(above, b.pixels.end());
     b.pixels.resize(above - b.pixels.begin());
+    b.update_stats();
+    hi.update_stats();
     boxes.push_back(std::move(hi));
   }
   *n_colors = (int)boxes.size();

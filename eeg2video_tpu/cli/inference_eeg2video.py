@@ -16,7 +16,7 @@ import numpy as np
 import jax
 
 from ..data.io import load_array
-from ..data.video import AsyncVideoWriter
+from ..data.video import AsyncVideoWriter, dispatch_ahead
 from ..diffusion.pipeline import EEG2VideoPipeline, latents_from_torch_layout
 from ..models.unet3d import UNet3DConfig
 from ..models.vae import VAEConfig
@@ -179,12 +179,15 @@ def main(argv=None):
         emb = emb.reshape(-1, 77 * 768).astype(np.float32)
     else:
         emb = load_array(args.embeddings).reshape(-1, 77 * 768).astype(np.float32)
-    if args.limit:
-        emb = emb[:args.limit]
     if args.negative:
         negative = load_array(args.negative).reshape(-1).astype(np.float32)
     else:
-        negative = emb.mean(axis=0)  # reference driver L45
+        # reference driver L45: mean over ALL clips — computed before --limit
+        # so a limited run reproduces the corresponding clips of a full run
+        # (and --limit 1 doesn't collapse CFG to a no-op)
+        negative = emb.mean(axis=0)
+    if args.limit:
+        emb = emb[:args.limit]
 
     if args.woSeq2Seq:
         latents, tag = None, "40_Classes_woSeq2Seq"
@@ -195,9 +198,12 @@ def main(argv=None):
         latents = latents_from_torch_layout(load_array(args.dana_latents))
         tag = "40_Classes_Fullmodel"
     out_dir = args.out_dir or f"./outputs/{tag}"
-    os.makedirs(out_dir, exist_ok=True)
 
     pipe = load_pipeline(args.unet, args.vae, dtype=args.dtype)
+    # created only after the pipeline loads: a failed load leaves no
+    # (empty) out_dir for run_pipeline's make-style resume to mistake for
+    # a completed stage
+    os.makedirs(out_dir, exist_ok=True)
     if args.dp or args.tp > 1:
         from ..parallel import make_mesh
         from ..train import unet_tp_rules
@@ -215,33 +221,29 @@ def main(argv=None):
     # never idles on the host (AsyncVideoWriter; serialized imageio encode
     # added ~0.8 s/clip to the loop)
     writer = AsyncVideoWriter(encoder=args.gif_encoder)
-    pending = None
 
-    def flush(p):
-        videos, s, m = p
+    def run(s):
+        e = emb[s:s + args.batch]
+        lat = None if latents is None else latents[s:s + args.batch]
+        m = len(e)
+        if m % dp:  # pad the tail chunk to a dp multiple, drop extras below
+            reps = [1] * (m - 1) + [dp - m % dp + 1]
+            e = np.repeat(e, reps, axis=0)
+            lat = None if lat is None else np.repeat(lat, reps, axis=0)
+        return pipe(e, negative, latents=lat, key=jax.random.fold_in(key, s),
+                    video_length=args.video_length, height=args.height,
+                    width=args.width, num_inference_steps=args.num_inference_steps,
+                    guidance_scale=args.guidance_scale, sampler=args.sampler), m
+
+    def flush(out, s):
+        videos, m = out
         videos = np.asarray(videos)[:m]
         for j in range(m):
             writer.submit(videos[j:j + 1], os.path.join(out_dir, f"{s + j}.gif"))
         log.info("clips %d..%d -> %s", s, s + m - 1, out_dir)
 
     try:
-        for s in range(0, n, args.batch):
-            e = emb[s:s + args.batch]
-            lat = None if latents is None else latents[s:s + args.batch]
-            m = len(e)
-            if m % dp:  # pad the tail chunk to a dp multiple, drop extras below
-                reps = [1] * (m - 1) + [dp - m % dp + 1]
-                e = np.repeat(e, reps, axis=0)
-                lat = None if lat is None else np.repeat(lat, reps, axis=0)
-            videos = pipe(e, negative, latents=lat, key=jax.random.fold_in(key, s),
-                          video_length=args.video_length, height=args.height,
-                          width=args.width, num_inference_steps=args.num_inference_steps,
-                          guidance_scale=args.guidance_scale, sampler=args.sampler)
-            if pending is not None:
-                flush(pending)
-            pending = (videos, s, m)
-        if pending is not None:
-            flush(pending)
+        dispatch_ahead(range(0, n, args.batch), run, flush)
     finally:
         writer.close()
 

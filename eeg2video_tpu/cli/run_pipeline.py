@@ -42,6 +42,18 @@ from ..utils import get_logger
 log = get_logger(__name__)
 
 
+def _complete(path):
+    """A declared output counts as present only if it is a file, or a
+    NON-EMPTY directory — stage CLIs may create their out_dir before doing
+    any work, and an empty dir left by a failed run must not make resume
+    skip the stage forever."""
+    if not os.path.exists(path):
+        return False
+    if os.path.isdir(path):
+        return bool(os.listdir(path))
+    return True
+
+
 def _stage_list(a):
     """Build the ordered stage table: (name, cli module, argv, outputs)."""
     data, out, sub = a.data_root, a.out_root, a.sub
@@ -209,7 +221,11 @@ def main(argv=None):
     p.add_argument("--woDANA", action="store_true")
     p.add_argument("--extra", nargs="*", default=[],
                    help="stage:--flag[=value] passthroughs, e.g. "
-                        "'finetune:--epochs=2' 'generate:--limit=4'")
+                        "'finetune:--epochs=2' 'generate:--limit=4'. For "
+                        "composite stages (latents/semantic/seq2seq) a "
+                        "stage-name key applies to EVERY sub-command; key by "
+                        "the sub-CLI module name instead to target one "
+                        "(e.g. 'train_semantic:--epochs=50')")
     args = p.parse_args(argv)
 
     selected = args.stages if args.stages else DEFAULT_STAGES
@@ -222,11 +238,12 @@ def main(argv=None):
         stage, _, flag = e.partition(":")
         extras.setdefault(stage, []).extend(flag.split("=", 1) if "=" in flag else [flag])
 
-    plan = [(n, m, v + extras.get(n, []), outs)
+    plan = [(n, m, v + extras.get(n, [])
+             + (extras.get(m, []) if m != n else []), outs)
             for n, m, v, outs in _stage_list(args) if n in selected]
     ran = []
     for name, mod, stage_argv, outputs in plan:
-        done = outputs and all(os.path.exists(o) for o in outputs) and not args.force
+        done = outputs and all(_complete(o) for o in outputs) and not args.force
         tag = "skip (outputs exist)" if done else "run"
         log.info("[%s] %s: %s %s", tag, name, mod, " ".join(stage_argv))
         if args.dry_run or done:
@@ -238,8 +255,8 @@ def main(argv=None):
                         "(pre-place %s to satisfy downstream stages)", outputs)
             continue
         importlib.import_module(f"eeg2video_tpu.cli.{mod}").main(stage_argv)
-        missing = [o for o in (outputs or []) if not os.path.exists(o)]
-        if missing and name in extras:
+        missing = [o for o in (outputs or []) if not _complete(o)]
+        if missing and (name in extras or mod in extras):
             # --extra flags can legitimately change what a stage emits
             # (e.g. gif:--blocks=0 produces only Block0); don't hard-fail
             log.warning("stage %s: declared outputs %s absent (stage has "

@@ -37,7 +37,7 @@ import time
 import numpy as np
 
 from ..data.io import load_array
-from ..data.video import AsyncVideoWriter
+from ..data.video import AsyncVideoWriter, dispatch_ahead
 from ..diffusion.pipeline import latents_from_torch_layout
 from ..utils import get_logger
 from .inference_eeg2video import load_pipeline
@@ -60,10 +60,24 @@ def _generate(pipe, key, emb, negative, latents, out_dir, args, req,
     # s — request latency is device time + the LAST batch's encode only
     # (the default fast encoder cut the per-clip encode 0.8 s -> ~0.03 s)
     writer = AsyncVideoWriter(encoder=g("gif_encoder"))
-    pending = None
 
-    def flush(p):
-        videos, s, m = p
+    def run(s):
+        e = emb[s:s + bs]
+        lat = None if latents is None else latents[s:s + bs]
+        # fold by the batch's first CLIP IDENTITY (requested embedding
+        # index), not the request-relative offset: at --max_batch 1 (the
+        # default) the same clip+seed samples identical noise regardless
+        # of request composition, so identity-named GIFs are coherent
+        # across requests sharing an out_dir
+        return pipe(
+            e, negative, latents=lat,
+            key=jax.random.fold_in(key, int(names[s])),
+            video_length=g("video_length"), height=g("height"),
+            width=g("width"), num_inference_steps=g("num_inference_steps"),
+            guidance_scale=g("guidance_scale"), sampler=g("sampler")), len(e)
+
+    def flush(out, s):
+        videos, m = out
         videos = np.asarray(videos)
         for j in range(m):
             path = os.path.join(out_dir, f"{names[s + j]}.gif")
@@ -71,19 +85,7 @@ def _generate(pipe, key, emb, negative, latents, out_dir, args, req,
             gifs.append(path)
 
     try:
-        for s in range(0, n, bs):
-            e = emb[s:s + bs]
-            lat = None if latents is None else latents[s:s + bs]
-            videos = pipe(
-                e, negative, latents=lat, key=jax.random.fold_in(key, s),
-                video_length=g("video_length"), height=g("height"),
-                width=g("width"), num_inference_steps=g("num_inference_steps"),
-                guidance_scale=g("guidance_scale"), sampler=g("sampler"))
-            if pending is not None:
-                flush(pending)
-            pending = (videos, s, len(e))
-        if pending is not None:
-            flush(pending)
+        dispatch_ahead(range(0, n, bs), run, flush)
     finally:
         writer.close()
     return gifs
@@ -95,14 +97,19 @@ def handle(pipe, args, req):
     if req.get("cmd") == "ping":
         return {"ok": True, "pong": time.time()}
     emb = load_array(req["embeddings"]).reshape(-1, 77 * 768).astype(np.float32)
-    idx = req.get("indices")
-    if idx is not None:
-        emb = emb[np.asarray(idx, np.int64)]
     if req.get("negative") or args.negative:
         negative = load_array(req.get("negative") or args.negative)
         negative = negative.reshape(-1).astype(np.float32)
     else:
-        negative = emb.mean(axis=0)  # reference driver behavior (L45)
+        # reference driver behavior (L45): mean over the WHOLE embedding
+        # file — computed before index selection so a {"indices": [3]}
+        # request uses the same CFG negative as a full-batch request (a
+        # subset mean would make a single-clip request's negative equal its
+        # own embedding, cancelling guidance entirely)
+        negative = emb.mean(axis=0)
+    idx = req.get("indices")
+    if idx is not None:
+        emb = emb[np.asarray(idx, np.int64)]
     latents = None
     if req.get("latents"):
         latents = latents_from_torch_layout(load_array(req["latents"]))

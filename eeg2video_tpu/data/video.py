@@ -248,3 +248,24 @@ class AsyncVideoWriter:
                 f.result()
         finally:
             self._pool.shutdown(wait=True)
+
+
+def dispatch_ahead(batches, run, flush):
+    """Overlap device compute with host transfer/encode: call ``run`` on
+    batch s+1 BEFORE ``flush``-ing batch s's result (the flush is where the
+    device->host sync happens), so the device never idles on host work.
+    The final pending result is flushed even if ``run`` raises mid-loop —
+    callers wrap this in try/finally around their AsyncVideoWriter.close().
+
+    ``run(batch) -> result``; ``flush(result, batch)`` consumes it."""
+    pending = None
+    try:
+        for b in batches:
+            out = run(b)
+            if pending is not None:
+                p, pending = pending, None
+                flush(*p)
+            pending = (out, b)
+    finally:
+        if pending is not None:
+            flush(*pending)

@@ -291,8 +291,7 @@ def _flash_bwd(q, k, v, do, lse, delta, scale, interpret=False):
 
     # delta lane-replicated + padded like lse; lse comes from the forward at
     # its own block_q padding — re-pad to this pass's Lqp if needed
-    lse = lse[:, :Lqp] if lse.shape[1] >= Lqp else _pad_to(lse, 1, block_q)
-    lse = lse[:, :Lqp]
+    lse = _pad_to(lse, 1, block_q)[:, :Lqp]
     deltap = jnp.zeros((bh, Lqp), jnp.float32).at[:, :Lq].set(
         delta.reshape(bh, Lq))
     deltap = jnp.broadcast_to(deltap[:, :, None], (bh, Lqp, 128))

@@ -153,3 +153,41 @@ def test_extra_passthrough_parsing(tmp_path, caplog):
                            "--extra", "generate:--limit=4", "generate:--woSeq2Seq"])
     assert "--limit 4" in caplog.text
     assert "--woSeq2Seq" in caplog.text
+
+
+def test_extra_by_module_targets_one_composite_subcommand(caplog):
+    """'semantic:--x' hits BOTH sub-commands of the composite stage (and
+    would crash inference_semantic for train-only flags); keying by the
+    sub-CLI module name targets exactly one."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="eeg2video_tpu.cli.run_pipeline"):
+        run_pipeline.main(["--dry_run", "--stages", "semantic",
+                           "--extra", "train_semantic:--use_8bit_adam"])
+    lines = [l for l in caplog.text.splitlines() if "] semantic:" in l]
+    train = [l for l in lines if " train_semantic " in l]
+    infer = [l for l in lines if " inference_semantic " in l]
+    assert train and "--use_8bit_adam" in train[0]
+    assert infer and "--use_8bit_adam" not in infer[0]
+
+
+def test_empty_output_dir_does_not_skip(tmp_path, caplog):
+    """A failed stage that created (but never filled) its output directory
+    must be re-run on resume, not skipped forever: inference_eeg2video's
+    out_dir is only a completed artifact when non-empty."""
+    import logging
+
+    out = tmp_path / "o"
+    os.makedirs(out / "generated")  # empty dir left by a failed generate
+    with caplog.at_level(logging.INFO, logger="eeg2video_tpu.cli.run_pipeline"):
+        run_pipeline.main(["--dry_run", "--data_root", str(tmp_path / "d"),
+                           "--out_root", str(out), "--stages", "generate"])
+    assert "[run] generate" in caplog.text
+    # a populated dir counts as done
+    caplog.clear()
+    with open(out / "generated" / "0.gif", "wb") as f:
+        f.write(b"GIF89a")
+    with caplog.at_level(logging.INFO, logger="eeg2video_tpu.cli.run_pipeline"):
+        run_pipeline.main(["--dry_run", "--data_root", str(tmp_path / "d"),
+                           "--out_root", str(out), "--stages", "generate"])
+    assert "[skip (outputs exist)] generate" in caplog.text

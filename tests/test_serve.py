@@ -62,6 +62,32 @@ def test_serve_generates_and_shuts_down(monkeypatch, tiny_pipe, tmp_path, rng):
     assert bye["bye"]
 
 
+def test_serve_subset_request_matches_full_run(monkeypatch, tiny_pipe,
+                                               tmp_path, rng):
+    """A {"indices": [i]} request reproduces clip i of a full-batch request
+    byte-for-byte: the CFG negative is the mean of the WHOLE embedding file
+    (not of the selected subset, which for one index would equal the clip's
+    own embedding and cancel guidance), and the noise key is folded by clip
+    identity, not request-relative offset."""
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((3, 77 * 768)).astype(np.float32))
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "full", "embeddings": str(emb_path),
+         "out_dir": str(tmp_path / "full")},
+        {"id": "one", "embeddings": str(emb_path), "indices": [1],
+         "out_dir": str(tmp_path / "one")},
+    ])
+    assert rc == 0
+    full, one = lines[1], lines[2]
+    assert full["ok"] and one["ok"] and one["clips"] == 1
+    assert os.path.basename(one["gifs"][0]) == "1.gif"
+    with open(os.path.join(str(tmp_path / "full"), "1.gif"), "rb") as f:
+        full_bytes = f.read()
+    with open(one["gifs"][0], "rb") as f:
+        one_bytes = f.read()
+    assert full_bytes == one_bytes
+
+
 def test_serve_request_overrides(monkeypatch, tiny_pipe, tmp_path, rng):
     emb_path = tmp_path / "emb.npy"
     np.save(emb_path, rng.standard_normal((1, 77 * 768)).astype(np.float32))
