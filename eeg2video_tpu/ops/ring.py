@@ -1,0 +1,164 @@
+"""Ring attention: context-parallel ("sp") flash attention over a mesh axis.
+
+A TPU-native capability with no reference analog: the reference caps
+resolution and clip length at what one GPU's memory can attend over
+(xformers + attention slicing, reference
+EEG2Video_New/Generation/models/attention.py:305-309 and
+pipeline_tuneeeg2video.py's enable_vae_slicing) — slicing trades memory for
+serialized time on ONE device.  Here the spatial-token axis shards over an
+"sp" mesh axis and the K/V shards rotate around the ring via
+``lax.ppermute`` (ICI neighbor hops on a real slice), so both memory AND
+FLOPs scale with the ring size: sequences that cannot fit one chip's HBM
+attend at full flash-kernel speed per hop, and XLA overlaps each hop's
+collective-permute with the previous hop's kernel.
+
+Forward (exact, not approximate): each device holds a (N, L/sp, H*D) shard
+of q/k/v.  sp hops of the packed flash kernel
+(ops.attention._flash_fwd_packed) produce block-local (out_i, lse_i); the
+streaming-softmax combine is
+
+    lse = logsumexp_i(lse_i),   out = sum_i exp(lse_i - lse) * out_i,
+
+the same math the in-kernel online softmax runs across KV tiles, lifted one
+level up to ring hops.
+
+Backward: a second ring pass rotates (k, v, dk, dv) while q/do/out/lse stay
+device-resident.  Each hop calls the combined packed backward
+(ops.attention._flash_bwd_packed) with the GLOBAL (out, lse) residuals —
+the kernel recomputes p = exp(s - lse) against the global normalizer, which
+makes its per-block dq/dk/dv partials exact.  dq accumulates locally (f32);
+dk/dv accumulate inside the rotating buffers and arrive back at their home
+device on the final hop.
+
+Layout/precision notes: operands stay channels-minor (N, L, H*D) end to
+end, exactly as the to_q/to_k/to_v Dense layers produce them (BENCH_NOTES
+round 2 packed-layout rationale).  The combine and grad accumulators run in
+f32; kernel outputs are cast back to the operand dtype at the boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .attention import _flash_fwd_packed, _flash_bwd_packed
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _shift(xs, axis_name, sp):
+    """Rotate each array one ring position: device i receives block i+1.
+
+    perm maps (source -> dest); block held by device j moves to j-1, so
+    after t hops device i holds block (i + t) % sp."""
+    perm = [(j, (j - 1) % sp) for j in range(sp)]
+    return tuple(jax.lax.ppermute(x, axis_name, perm) for x in xs)
+
+
+def _weighted(out_f32, w, heads):
+    """Multiply (N, L, H*D) by per-(N, H, L) weights."""
+    n, l, hd = out_f32.shape
+    d = hd // heads
+    w = w.transpose(0, 2, 1)[..., None]  # (N, L, H, 1)
+    return (out_f32.reshape(n, l, heads, d) * w).reshape(n, l, hd)
+
+
+def _ring_fwd(q, k, v, heads, scale, axis_name, sp):
+    """Local shards in, (combined out, global natural-units lse) out."""
+    lq = q.shape[1]
+    out = None
+    lse = None
+    kb, vb = k, v
+    for t in range(sp):
+        o_i, l_i = _flash_fwd_packed(q, kb, vb, heads, scale,
+                                     interpret=_interpret(), return_lse=True)
+        l_i = l_i[:, :, 0, :lq]  # (N, H, Lq), natural-log units
+        o_i = o_i.astype(jnp.float32)
+        if out is None:
+            out, lse = o_i, l_i
+        else:
+            m = jnp.maximum(lse, l_i)
+            a = jnp.exp(lse - m)
+            b = jnp.exp(l_i - m)
+            denom = a + b
+            out = (_weighted(out, a / denom, heads)
+                   + _weighted(o_i, b / denom, heads))
+            lse = m + jnp.log(denom)
+        if t + 1 < sp:  # last hop's KV state is not needed again
+            kb, vb = _shift((kb, vb), axis_name, sp)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ring_attention_local(q, k, v, heads, scale, axis_name, sp):
+    out, _ = _ring_fwd(q, k, v, heads, scale, axis_name, sp)
+    return out.astype(q.dtype)
+
+
+def _ring_local_fwd(q, k, v, heads, scale, axis_name, sp):
+    out, lse = _ring_fwd(q, k, v, heads, scale, axis_name, sp)
+    out = out.astype(q.dtype)
+    return out, (q, k, v, out, lse)
+
+
+def _ring_local_bwd(heads, scale, axis_name, sp, res, g):
+    q, k, v, out, lse = res
+    dq = jnp.zeros(q.shape, jnp.float32)
+    # rotating buffers: the KV block plus its grad accumulators travel
+    # together; after sp hops they are back at the block's home device
+    kb, vb = k, v
+    dkb = jnp.zeros(k.shape, jnp.float32)
+    dvb = jnp.zeros(v.shape, jnp.float32)
+    for _ in range(sp):
+        dq_p, dk_p, dv_p = _flash_bwd_packed(
+            q, kb, vb, g, out, lse, scale, heads, interpret=_interpret())
+        dq = dq + dq_p.astype(jnp.float32)
+        dkb = dkb + dk_p.astype(jnp.float32)
+        dvb = dvb + dv_p.astype(jnp.float32)
+        kb, vb, dkb, dvb = _shift((kb, vb, dkb, dvb), axis_name, sp)
+    return dq.astype(q.dtype), dkb.astype(k.dtype), dvb.astype(v.dtype)
+
+
+_ring_attention_local.defvjp(_ring_local_fwd, _ring_local_bwd)
+
+
+def ring_attention_inner(q, k, v, heads, scale, axis_name, sp):
+    """Shard-level entry point, for callers already inside a ``shard_map``
+    over ``axis_name``: q/k/v are the LOCAL (N, L/sp, H*D) shards."""
+    return _ring_attention_local(q, k, v, heads, float(scale), axis_name,
+                                 int(sp))
+
+
+def ring_attention_packed(q, k, v, heads, mesh: Mesh, scale=None,
+                          axis_name: str = "sp", batch_axis=None):
+    """Context-parallel attention over GLOBAL channels-minor operands.
+
+    q/k/v: (N, L, H*D) with L divisible by ``mesh.shape[axis_name]``; the
+    token axis is sharded over ``axis_name`` (and optionally the batch axis
+    over ``batch_axis``, e.g. "dp") via ``shard_map``.  Exact — matches
+    ``fused_attention_packed`` to kernel tolerance at any ring size,
+    including sp=1 (plain flash, zero hops)."""
+    hd = q.shape[-1] // heads
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(hd))
+    sp = mesh.shape[axis_name]
+    if q.shape[1] % sp or k.shape[1] % sp:
+        raise ValueError(
+            f"token axes {q.shape[1]}/{k.shape[1]} not divisible by "
+            f"{axis_name}={sp}")
+    spec = P(batch_axis, axis_name, None)
+
+    def local(ql, kl, vl):
+        # positional call: custom_vjp with nondiff_argnums rejects kwargs
+        return _ring_attention_local(ql, kl, vl, heads, float(scale),
+                                     axis_name, int(sp))
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    return fn(q, k, v)

@@ -1,0 +1,89 @@
+"""Ring (context-parallel, "sp") attention vs the single-device packed path.
+
+Exactness contract: ring attention is the flash online-softmax combine
+lifted to mesh hops, so outputs AND gradients must match the single-device
+``fused_attention_packed`` to kernel tolerance at every ring size.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from eeg2video_tpu.ops import fused_attention_packed
+from eeg2video_tpu.ops.ring import ring_attention_packed
+
+HEADS, D = 2, 40
+N, L = 2, 512  # L/sp = 128 local tokens at sp=4
+
+
+def _qkv(seed, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((N, L, HEADS * D)), dtype=dtype)
+    return mk(), mk(), mk()
+
+
+def _sp_mesh(sp):
+    return Mesh(np.asarray(jax.devices()[:sp]), ("sp",))
+
+
+@pytest.mark.parametrize("sp", [1, 2, 4])
+def test_forward_matches_single_device(sp):
+    q, k, v = _qkv(0)
+    ref = fused_attention_packed(q, k, v, HEADS)
+    out = ring_attention_packed(q, k, v, HEADS, _sp_mesh(sp))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grads_match_single_device():
+    q, k, v = _qkv(1)
+    cot = jnp.asarray(
+        np.random.default_rng(2).standard_normal((N, L, HEADS * D)),
+        jnp.float32)
+    mesh = _sp_mesh(4)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(fused_attention_packed(q, k, v, HEADS) * cot)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_attention_packed(q, k, v, HEADS, mesh) * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5, err_msg=f"d{name}")
+
+
+def test_dp_times_sp_mesh():
+    """Batch over dp and tokens over sp simultaneously (2x4 of the 8-device
+    CPU mesh); inputs pre-placed with the global sharding."""
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dp", "sp"))
+    q, k, v = _qkv(3)
+    sh = NamedSharding(mesh, P("dp", "sp", None))
+    q, k, v = (jax.device_put(x, sh) for x in (q, k, v))
+    ref = fused_attention_packed(q, k, v, HEADS)
+    out = ring_attention_packed(q, k, v, HEADS, mesh, batch_axis="dp")
+    assert out.sharding.is_equivalent_to(sh, out.ndim)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_operands():
+    q, k, v = _qkv(4, jnp.bfloat16)
+    ref = fused_attention_packed(q, k, v, HEADS)
+    out = ring_attention_packed(q, k, v, HEADS, _sp_mesh(2))
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_indivisible_tokens_raise():
+    q, k, v = _qkv(5)
+    with pytest.raises(ValueError, match="not divisible"):
+        ring_attention_packed(q[:, :500], k[:, :500], v[:, :500], HEADS,
+                              _sp_mesh(8))
