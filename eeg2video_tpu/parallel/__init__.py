@@ -7,3 +7,4 @@ from .mesh import (
     fsdp_spec,
     is_host0,
 )
+from .pipeline import gpipe_apply
