@@ -171,6 +171,10 @@ def main(argv=None):
                         "(0 = single device; batch must divide by dp)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel UNet sharding (with --dp)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel (ring attention) shards: spatial "
+                        "attention FLOPs/memory split over an sp mesh axis "
+                        "(ops.ring; not combinable with --tp)")
     args = p.parse_args(argv)
 
     if args.legacy:
@@ -204,12 +208,12 @@ def main(argv=None):
     # (empty) out_dir for run_pipeline's make-style resume to mistake for
     # a completed stage
     os.makedirs(out_dir, exist_ok=True)
-    if args.dp or args.tp > 1:
+    if args.dp or args.tp > 1 or args.sp > 1:
         from ..parallel import make_mesh
         from ..train import unet_tp_rules
 
-        dp = args.dp or max(1, len(jax.devices()) // args.tp)
-        pipe = pipe.shard(make_mesh(dp=dp, tp=args.tp),
+        dp = args.dp or max(1, len(jax.devices()) // (args.tp * args.sp))
+        pipe = pipe.shard(make_mesh(dp=dp, tp=args.tp, sp=args.sp),
                           unet_tp_rules if args.tp > 1 else None)
         if args.batch % dp:
             p.error(f"--batch {args.batch} must be divisible by --dp {dp}")

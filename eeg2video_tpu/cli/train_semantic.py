@@ -36,6 +36,15 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--hidden", type=int, default=10000)
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel shards")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages: the 10000-wide hidden "
+                        "stack pipelines one stage per device (GPipe, "
+                        "parallel.pipeline) with the 591M-param out head "
+                        "column-sharded over the same axis; must divide the "
+                        "hidden-layer count (3)")
+    p.add_argument("--n_micro", type=int, default=8,
+                   help="(--pp) microbatches per step; bubble fraction is "
+                        "(pp-1)/(n_micro+pp-1)")
     p.add_argument("--use_8bit_adam", action="store_true",
                    help="int8 blockwise Adam moments: 4x less optimizer "
                         "state/traffic for the 894M-param MLP (train/optim.py)")
@@ -55,7 +64,9 @@ def main(argv=None):
     cfg = SemanticTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                               lr=args.lr, hidden=args.hidden,
                               use_8bit_adam=args.use_8bit_adam)
-    variables, losses = train_semantic(eeg, text, cfg, seed=args.seed, tp=args.tp)
+    variables, losses = train_semantic(eeg, text, cfg, seed=args.seed,
+                                       tp=args.tp, pp=args.pp,
+                                       n_micro=args.n_micro)
     ckpt.save_checkpoint(os.path.join(args.save_path, "ckpt"), args.epochs, variables)
     scaler.save(os.path.join(args.save_path, "scaler.npz"))
     log.info("semantic predictor saved to %s (final loss %.5f)", args.save_path, losses[-1])

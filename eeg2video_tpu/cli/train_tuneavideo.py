@@ -129,6 +129,11 @@ def main(argv=None):
                         "the dp axis (parallel.shard_params_fsdp): each "
                         "weight all-gathers at use, grads reduce-scatter; "
                         "per-chip param+opt memory drops ~dp-fold")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel mesh size: spatial attention "
+                        "(fwd AND bwd) rides ring attention over an sp mesh "
+                        "axis (ops.ring) — attention memory/FLOPs scale "
+                        "with sp; not combinable with --tp")
     args = p.parse_args(argv)
 
     remat = True
@@ -180,7 +185,11 @@ def main(argv=None):
     # `accelerate launch`, train L99-102/240-242)
     n_dev = len(jax.devices())
     tp = max(args.tp, 1)
-    dp = args.dp if args.dp > 0 else max(n_dev // tp, 1)
+    sp = max(args.sp, 1)
+    if sp > 1 and tp > 1:
+        p.error("--sp and --tp cannot combine: ring attention's shard_map "
+                "keeps the head axis whole (see EEG2VideoPipeline.shard)")
+    dp = args.dp if args.dp > 0 else max(n_dev // (tp * sp), 1)
     if args.train_batch_size % dp != 0:
         # dp shards the batch; an indivisible split would leave GSPMD
         # proposing partial batch shardings the Pallas-kernel partitioners
@@ -191,19 +200,21 @@ def main(argv=None):
         log.warning("train_batch_size %d not divisible by dp: clamped dp to %d",
                     args.train_batch_size, dp)
     mesh = None
-    if dp * tp > 1:
+    if dp * tp * sp > 1:
         from ..parallel import make_mesh, shard_params
 
-        mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+        mesh = make_mesh(dp=dp, tp=tp, sp=sp,
+                         devices=jax.devices()[: dp * tp * sp])
+        tp_rules = unet_tp_rules if tp > 1 else None
         if args.fsdp:
             from ..parallel import shard_params_fsdp
 
-            params = shard_params_fsdp(params, mesh, unet_tp_rules)
+            params = shard_params_fsdp(params, mesh, tp_rules)
             vae_params = shard_params_fsdp(vae_params, mesh, None)
         else:
-            params = shard_params(params, mesh, unet_tp_rules)
+            params = shard_params(params, mesh, tp_rules)
             vae_params = shard_params(vae_params, mesh, None)
-        log.info("mesh: dp=%d tp=%d fsdp=%s", dp, tp, args.fsdp)
+        log.info("mesh: dp=%d tp=%d sp=%d fsdp=%s", dp, tp, sp, args.fsdp)
 
     state = init_video_train_state(params, tcfg)
     if args.unet_ckpt:

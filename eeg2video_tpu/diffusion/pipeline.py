@@ -34,11 +34,16 @@ from .schedulers import DDIMSchedule, DPMSolverPPSchedule
     jax.jit,
     static_argnames=("unet", "vae", "dtype", "video_length", "height",
                      "width", "num_inference_steps", "decode",
-                     "sequential_decode", "sampler"),
+                     "sequential_decode", "sampler", "sp_mesh"),
 )
 def _sample(unet, vae, dtype, unet_params, vae_params, embeddings, negative,
             latents, key, video_length, height, width, num_inference_steps,
-            guidance_scale, decode, sequential_decode=True, sampler="ddim"):
+            guidance_scale, decode, sequential_decode=True, sampler="ddim",
+            sp_mesh=None):
+    # sp_mesh participates only as a jit cache key: the actual ring routing
+    # happens at trace time via the attention3d.sp_scope the caller holds
+    # open around this call (EEG2VideoPipeline.__call__).
+    del sp_mesh
     if sampler not in ("ddim", "dpm++"):
         raise ValueError(f"unknown sampler '{sampler}' (ddim | dpm++)")
     sched = (DDIMSchedule if sampler == "ddim" else DPMSolverPPSchedule).create(
@@ -133,9 +138,23 @@ class EEG2VideoPipeline:
         dp-shard the batch axis of every subsequent ``__call__``.  GSPMD then
         partitions the whole jitted sample scan; the serving analog of the
         trainer's (dp, tp) mesh (reference ran generation strictly
-        single-GPU, inference_eeg2video.py:50-53).  Returns self."""
+        single-GPU, inference_eeg2video.py:50-53).
+
+        If ``mesh`` carries an "sp" axis of size > 1, spatial-token attention
+        additionally routes through ring attention (context parallelism,
+        ops.ring): the KV shards rotate over the sp axis so attention memory
+        and FLOPs scale with the ring — the reference's one-GPU answer is
+        xformers + slicing (attention.py:305-316), which only trades memory
+        for serialized time.  sp composes with dp; combining sp with
+        head-sharding tp_rules on the same attention is not supported (the
+        ring's shard_map replicates the head axis).  Returns self."""
         from ..parallel import shard_params
 
+        if (mesh.shape.get("sp", 1) > 1 and tp_rules is not None
+                and "tp" in mesh.shape and mesh.shape["tp"] > 1):
+            raise ValueError(
+                "sp (ring attention) and tp attention sharding cannot "
+                "combine on one mesh: the ring shard_map keeps heads whole")
         self.unet_params = shard_params(self.unet_params, mesh, tp_rules)
         self.vae_params = shard_params(self.vae_params, mesh, None)
         self.mesh = mesh
@@ -176,12 +195,19 @@ class EEG2VideoPipeline:
             if latents is not None:
                 latents = jax.device_put(
                     latents, batch_sharding(self.mesh, latents.ndim))
-        return _sample(
-            self.unet, self.vae, self.dtype, self.unet_params, self.vae_params,
-            embeddings, jnp.asarray(negative), latents, key, video_length,
-            height, width, num_inference_steps, jnp.float32(guidance_scale),
-            decode, sequential_decode=self.mesh is None, sampler=sampler,
-        )
+        sp_mesh = (self.mesh if self.mesh is not None
+                   and self.mesh.shape.get("sp", 1) > 1 else None)
+        from ..models import attention3d
+
+        with attention3d.sp_scope(sp_mesh):
+            return _sample(
+                self.unet, self.vae, self.dtype, self.unet_params,
+                self.vae_params, embeddings, jnp.asarray(negative), latents,
+                key, video_length, height, width, num_inference_steps,
+                jnp.float32(guidance_scale), decode,
+                sequential_decode=self.mesh is None, sampler=sampler,
+                sp_mesh=sp_mesh,
+            )
 
 
 def latents_from_torch_layout(x):

@@ -20,6 +20,7 @@ Activations are (B, F, L, C) where L = H*W spatial tokens.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -42,6 +43,72 @@ KNOBS = {
     # of the fused ops.temporal Pallas kernel (ablation / parity oracle)
     "temporal_rowwise": False,
 }
+
+# Sequence/context parallelism ("sp"): when a mesh with an sp axis of size
+# > 1 is in scope, spatial-token attention routes through
+# ops.ring.ring_attention_packed — the framework's answer to the reference's
+# one-GPU attention memory/FLOPs ceiling (xformers + attention slicing,
+# reference EEG2Video_New/Generation/models/attention.py:305-316): KV shards
+# rotate around the ring via ppermute so attention memory AND FLOPs scale
+# with the ring size.  Trace-time state; callers that jit must key their
+# cache on the mesh (diffusion.pipeline passes it as a static arg,
+# train.videodiffusion builds one jitted step per scope).
+_SP = {"mesh": None, "axis": "sp"}
+
+
+@contextlib.contextmanager
+def sp_scope(mesh, axis: str = "sp"):
+    """Route spatial attention through ring attention while tracing under
+    this scope.  ``mesh`` None (or without an ``axis`` dimension > 1) is a
+    no-op, so callers can pass their maybe-sp mesh unconditionally."""
+    old = dict(_SP)
+    _SP.update(mesh=mesh, axis=axis)
+    try:
+        yield
+    finally:
+        _SP.clear()
+        _SP.update(old)
+
+
+def _sp_size() -> int:
+    mesh = _SP["mesh"]
+    if mesh is None:
+        return 1
+    return mesh.shape.get(_SP["axis"], 1)
+
+
+def _sp_attention(q, k, v, heads, bias=None):
+    """Dispatch one (N, Lq, H*D) x (N, Lkv, H*D) attention: ring/repkv over
+    the sp mesh axis when an sp scope is active and the query tokens divide,
+    the fused single-device path otherwise.  Biased attention always takes
+    the single-device path (the (N, 1, Lkv) bias would need KV-aligned
+    resharding; masked attention is off every reference path)."""
+    sp = _sp_size()
+    if sp > 1 and bias is None and q.shape[1] % sp == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.ring import ring_attention_packed
+
+        mesh = _SP["mesh"]
+        dp = mesh.shape.get("dp", 1)
+        batch_axis = "dp" if dp > 1 and q.shape[0] % dp == 0 else None
+        # Sharding contract: ONLY the attention internals shard over sp —
+        # the surrounding activations (convs, GN, resnets) stay replicated
+        # on the sp axis (dp shards the batch).  The explicit constraints on
+        # both sides of the shard_map pin that contract; without them GSPMD
+        # back-propagates the shard_map's operand shardings into the
+        # spatially-tiny conv/reshape graph, which both partitions convs on
+        # an axis they should not split and MISCOMPILES on the CPU backend
+        # (full-UNet jit diverged 0.13 at 2x2 spatial; each attention module
+        # in isolation was exact — see tests/test_sp_product.py).
+        repl = NamedSharding(mesh, P(batch_axis, None, None))
+        q, k, v = (jax.lax.with_sharding_constraint(x, repl)
+                   for x in (q, k, v))
+        out = ring_attention_packed(q, k, v, heads, mesh,
+                                    axis_name=_SP["axis"],
+                                    batch_axis=batch_axis)
+        return jax.lax.with_sharding_constraint(out, repl)
+    return fused_attention_packed(q, k, v, heads, bias=bias)
 
 
 class Attention(nn.Module):
@@ -68,8 +135,10 @@ class Attention(nn.Module):
         else:
             k, v = kv
         # packed layout: q/k/v stay (N, L, H*D) channels-minor end to end —
-        # no head transposes, no HBM D-padding (BENCH_NOTES round 2)
-        out = fused_attention_packed(q, k, v, self.heads)
+        # no head transposes, no HBM D-padding (BENCH_NOTES round 2).
+        # Under an sp scope the call routes through ring attention (the
+        # 77-token cross-attention context takes the replicated-KV mode).
+        out = _sp_attention(q, k, v, self.heads)
         init = nn.initializers.zeros if self.zero_init_out else None
         dense = nn.Dense(
             out_features, dtype=self.dtype, name="to_out",
@@ -107,6 +176,33 @@ class SparseCausalAttention(nn.Module):
         def rep(bias_, n):
             # (B, 1, Lkv) -> (B*n, 1, Lkv): per-frame repeat
             return jnp.repeat(bias_, n, axis=0) if bias_ is not None else None
+
+        sp = _sp_size()
+        if f >= 2 and sp > 1 and bias is None and l % sp == 0:
+            # sp (ring) routing, fwd AND bwd exact: the spatial-token axes
+            # stay global so shard_map splits them over the ring — each
+            # device holds 1/sp of the [K0 | K_prev] concat, so attention
+            # memory and FLOPs both scale with the ring size (the ceiling
+            # the reference hits with xformers + slicing,
+            # attention.py:305-316).
+            q01 = qf[:, :2].reshape(b, 2 * l, inner)
+            out01 = _sp_attention(q01, kf[:, 0], vf[:, 0],
+                                  self.heads).reshape(b, 2, l, inner)
+            m = f - 2
+            if m == 0:
+                out = out01
+            else:
+                qr = qf[:, 2:].reshape(b * m, l, inner)
+                k0r = jnp.broadcast_to(kf[:, :1], (b, m, l, inner))
+                v0r = jnp.broadcast_to(vf[:, :1], (b, m, l, inner))
+                kg = jnp.concatenate([k0r, kf[:, 1:-1]],
+                                     axis=2).reshape(b * m, 2 * l, inner)
+                vg = jnp.concatenate([v0r, vf[:, 1:-1]],
+                                     axis=2).reshape(b * m, 2 * l, inner)
+                outr = _sp_attention(qr, kg, vg, self.heads)
+                out = jnp.concatenate(
+                    [out01, outr.reshape(b, m, l, inner)], axis=1)
+            return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
         if f >= 2:
             # frames 0 and 1 both gather [K0, K0] (former_frame_index[0]=0,
@@ -158,8 +254,8 @@ class SparseCausalAttention(nn.Module):
                                               bias=rep(bias2, m))
             out = jnp.concatenate([out01, outr.reshape(b, m, l, inner)], axis=1)
         else:
-            out = fused_attention_packed(q, k, v, self.heads,
-                                         bias=rep(bias, f)).reshape(b, f, l, inner)
+            out = _sp_attention(q, k, v, self.heads,
+                                bias=rep(bias, f)).reshape(b, f, l, inner)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
 

@@ -128,6 +128,43 @@ def _ring_local_bwd(heads, scale, axis_name, sp, res, g):
 _ring_attention_local.defvjp(_ring_local_fwd, _ring_local_bwd)
 
 
+# --- replicated-KV mode -------------------------------------------------------
+#
+# For attention whose KV side is short and not divisible by the ring size
+# (the UNet's 77-token cross-attention context, reference
+# EEG2Video_New/Generation/models/attention.py:231-257): the QUERY tokens
+# shard over "sp" while k/v stay replicated.  Zero hops — each device runs
+# one flash call over its query shard against the whole KV — and the
+# backward psums dk/dv over the ring axis (each shard contributes the
+# gradient of its own query rows).  Exact, like the ring mode.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _repkv_attention_local(q, k, v, heads, scale, axis_name):
+    out = _flash_fwd_packed(q, k, v, heads, scale, interpret=_interpret())
+    return out.astype(q.dtype)
+
+
+def _repkv_local_fwd(q, k, v, heads, scale, axis_name):
+    out, lse = _flash_fwd_packed(q, k, v, heads, scale,
+                                 interpret=_interpret(), return_lse=True)
+    out = out.astype(q.dtype)
+    return out, (q, k, v, out, lse[:, :, 0, :q.shape[1]])
+
+
+def _repkv_local_bwd(heads, scale, axis_name, res, g):
+    # dk/dv are PARTIAL over the ring (each shard differentiates its own
+    # query rows); the cross-shard sum is inserted by shard_map's transpose
+    # for the replicated in_spec — adding a psum here would double-count.
+    q, k, v, out, lse = res
+    dq, dk, dv = _flash_bwd_packed(q, k, v, g, out, lse, scale, heads,
+                                   interpret=_interpret())
+    return dq, dk, dv
+
+
+_repkv_attention_local.defvjp(_repkv_local_fwd, _repkv_local_bwd)
+
+
 def ring_attention_inner(q, k, v, heads, scale, axis_name, sp):
     """Shard-level entry point, for callers already inside a ``shard_map``
     over ``axis_name``: q/k/v are the LOCAL (N, L/sp, H*D) shards."""
@@ -139,26 +176,37 @@ def ring_attention_packed(q, k, v, heads, mesh: Mesh, scale=None,
                           axis_name: str = "sp", batch_axis=None):
     """Context-parallel attention over GLOBAL channels-minor operands.
 
-    q/k/v: (N, L, H*D) with L divisible by ``mesh.shape[axis_name]``; the
-    token axis is sharded over ``axis_name`` (and optionally the batch axis
-    over ``batch_axis``, e.g. "dp") via ``shard_map``.  Exact — matches
+    q/k/v: (N, L, H*D) with Lq divisible by ``mesh.shape[axis_name]``; the
+    query-token axis is sharded over ``axis_name`` (and optionally the batch
+    axis over ``batch_axis``, e.g. "dp") via ``shard_map``.  When Lkv is
+    also divisible, the KV shards rotate around the ring (memory AND FLOPs
+    scale with sp); otherwise (e.g. the 77-token cross-attention context)
+    k/v stay replicated and only the query side shards (FLOPs scale, dk/dv
+    psum over the ring).  Exact either way — matches
     ``fused_attention_packed`` to kernel tolerance at any ring size,
     including sp=1 (plain flash, zero hops)."""
     hd = q.shape[-1] // heads
     if scale is None:
         scale = 1.0 / float(np.sqrt(hd))
     sp = mesh.shape[axis_name]
-    if q.shape[1] % sp or k.shape[1] % sp:
+    if q.shape[1] % sp:
         raise ValueError(
-            f"token axes {q.shape[1]}/{k.shape[1]} not divisible by "
-            f"{axis_name}={sp}")
+            f"query token axis {q.shape[1]} not divisible by {axis_name}={sp}")
     spec = P(batch_axis, axis_name, None)
+    if k.shape[1] % sp:
+        kv_spec = P(batch_axis, None, None)
 
-    def local(ql, kl, vl):
-        # positional call: custom_vjp with nondiff_argnums rejects kwargs
-        return _ring_attention_local(ql, kl, vl, heads, float(scale),
-                                     axis_name, int(sp))
+        def local(ql, kl, vl):
+            # positional call: custom_vjp with nondiff_argnums rejects kwargs
+            return _repkv_attention_local(ql, kl, vl, heads, float(scale),
+                                          axis_name)
+    else:
+        kv_spec = spec
 
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+        def local(ql, kl, vl):
+            return _ring_attention_local(ql, kl, vl, heads, float(scale),
+                                         axis_name, int(sp))
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, kv_spec, kv_spec),
                        out_specs=spec, check_vma=False)
     return fn(q, k, v)

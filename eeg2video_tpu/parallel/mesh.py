@@ -18,13 +18,20 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int = 1, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (dp, tp) mesh.  ``dp*tp`` must equal the device count."""
+def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (dp[, sp], tp) mesh.  ``dp*sp*tp`` must equal the device
+    count.  The "sp" (sequence/context-parallel ring attention, ops.ring)
+    axis is only materialized when sp > 1, so existing (dp, tp) call sites
+    and their GSPMD shardings are unchanged."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    if dp * tp != n:
-        raise ValueError(f"dp*tp = {dp*tp} != {n} devices")
+    if dp * sp * tp != n:
+        raise ValueError(f"dp*sp*tp = {dp*sp*tp} != {n} devices")
+    if sp > 1:
+        arr = np.asarray(devices).reshape(dp, sp, tp)
+        return Mesh(arr, axis_names=("dp", "sp", "tp"))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 

@@ -79,15 +79,101 @@ def prepare_semantic_data_legacy(de_1per1s: np.ndarray, text_embeddings: np.ndar
     return scaler.transform(eeg), text.astype(np.float32), scaler
 
 
+def _stack_middle(params, pp: int):
+    """Standard SemanticPredictor tree -> GPipe layout: the homogeneous
+    hidden stack fc1..fc{n-1} stacked to (pp, k, h, h)/(pp, k, h) with the
+    edge projections (fc0, out) left as-is."""
+    names = sorted(n for n in params if n.startswith("fc") and n != "fc0")
+    k = len(names) // pp
+    h = params[names[0]]["kernel"].shape[0]
+    kern = jnp.stack([params[n]["kernel"] for n in names]).reshape(pp, k, h, h)
+    bias = jnp.stack([params[n]["bias"] for n in names]).reshape(pp, k, h)
+    return ({"fc0": params["fc0"], "mid": {"kernel": kern, "bias": bias},
+             "out": params["out"]}, names)
+
+
+def _unstack_middle(piped, names):
+    """Inverse of _stack_middle: back to the standard tree, so checkpoints
+    stay interchangeable with the tp/single-device trainers and torch."""
+    h = piped["mid"]["kernel"].shape[-1]
+    kern = piped["mid"]["kernel"].reshape(-1, h, h)
+    bias = piped["mid"]["bias"].reshape(-1, h)
+    out = {"fc0": piped["fc0"], "out": piped["out"]}
+    for i, n in enumerate(names):
+        out[n] = {"kernel": kern[i], "bias": bias[i]}
+    return out
+
+
+def _gpipe_semantic_apply(mesh, n_micro: int):
+    """Pipelined forward of the 894M MLP (reference eeg_text.py:11-33):
+    fc0 (3.1M params, replicated) on every device, the 10000-wide hidden
+    stack fc1..fc{n-1} (3x10^8 params — the bulk) GPipe-pipelined one stage
+    per "pp" device (parallel.pipeline), and the 10000x59136 ``out`` head
+    (591M params) Megatron-column-sharded over the same axis.  Per-device
+    parameter memory drops from ~3.6 GB to ~1.6 GB at pp=3 and keeps
+    falling with pp; its own docstring names this model the canonical fit
+    (parallel/pipeline.py)."""
+    from ..parallel import gpipe_apply
+
+    def stage_fn(sp, a):
+        # one pipeline stage = k consecutive Dense+ReLU hidden layers
+        for j in range(sp["kernel"].shape[0]):
+            a = jax.nn.relu(a @ sp["kernel"][j] + sp["bias"][j])
+        return a
+
+    def apply_fn(p, x):
+        h = jax.nn.relu(x @ p["fc0"]["kernel"] + p["fc0"]["bias"])
+        h = gpipe_apply(stage_fn, p["mid"], h, mesh, n_micro=n_micro)
+        return h @ p["out"]["kernel"] + p["out"]["bias"]
+
+    return apply_fn
+
+
 def train_semantic(eeg, text, cfg: SemanticTrainConfig = SemanticTrainConfig(),
-                   seed: int = 0, tp: int = 1):
+                   seed: int = 0, tp: int = 1, pp: int = 1, n_micro: int = 8):
     """Returns ({'params': ...}, losses).  ``tp>1`` shards the MLP over a
-    (1, tp) mesh (Megatron layout, models.semantic)."""
+    (1, tp) mesh (Megatron layout, models.semantic); ``pp>1`` pipelines the
+    hidden stack over a ("pp",) mesh instead (GPipe, parallel.pipeline) with
+    ``n_micro`` microbatches per step — returned params are converted back
+    to the standard tree either way."""
+    if tp > 1 and pp > 1:
+        raise ValueError("tp and pp are alternative shardings; pick one")
     model = SemanticPredictor(hidden=cfg.hidden, out_dim=cfg.out_dim)
     params = model.init(jax.random.key(seed), jnp.zeros((1, eeg.shape[-1])))["params"]
 
     mesh = None
-    if tp > 1:
+    pipe_names = None
+    apply_fn = lambda p, x: model.apply({"params": p}, x)
+    if pp > 1:
+        n_middle = model.n_hidden - 1
+        if n_middle % pp:
+            raise ValueError(
+                f"pp={pp} must divide the {n_middle}-layer hidden stack")
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:pp]), ("pp",))
+        params, pipe_names = _stack_middle(params, pp)
+        # one stage's hidden layers per device; out head column-sharded on
+        # the same axis (when the output dim divides — 59136 does for the
+        # real model); tiny fc0 replicated
+        def _pp_rules(path, shape):
+            names = [getattr(k, "key", str(k)) for k in path]
+            if names[0] == "mid":
+                return P("pp")
+            if names[0] == "out" and shape[-1] % pp == 0:
+                return P(*([None] * (len(shape) - 1)), "pp")
+            return P()
+
+        from jax.sharding import NamedSharding
+
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, x: jax.device_put(
+                x, NamedSharding(mesh, _pp_rules(p, x.shape))), params)
+        bs = cfg.batch_size
+        while bs % n_micro:
+            n_micro -= 1  # largest divisor <= requested
+        apply_fn = _gpipe_semantic_apply(mesh, n_micro)
+    elif tp > 1:
         mesh = make_mesh(dp=1, tp=tp)
         params = shard_params(params, mesh, semantic_sharding_rules)
 
@@ -115,7 +201,7 @@ def train_semantic(eeg, text, cfg: SemanticTrainConfig = SemanticTrainConfig(),
         x, y = batch
 
         def loss_fn(p):
-            return jnp.mean((model.apply({"params": p}, x) - y) ** 2)
+            return jnp.mean((apply_fn(p, x) - y) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -143,6 +229,8 @@ def train_semantic(eeg, text, cfg: SemanticTrainConfig = SemanticTrainConfig(),
             losses.append(float(ep))
             if (epoch + 1) % 10 == 0:
                 log.info("semantic epoch %d loss %.5f", epoch + 1, losses[-1])
+    if pipe_names is not None:
+        params = _unstack_middle(params, pipe_names)
     return {"params": params}, losses
 
 

@@ -39,6 +39,23 @@ from ..models.vae import AutoencoderKL, VAEConfig, SD_VAE_SCALE
 TRAINABLE_MODULES = ("attn1", "attn2", "attn_temp")  # see trainable() below
 
 
+def _sp_wrap(fn, mesh):
+    """Hold an attention3d.sp_scope open around ``fn`` when ``mesh`` carries
+    an sp axis > 1, so the first call's trace routes spatial attention
+    through ring attention (fwd AND bwd — ops.ring has an exact custom_vjp).
+    Each make_* call returns a fresh jit wrapper, so the scope state can't
+    leak across differently-meshed trainers."""
+    if mesh is None or mesh.shape.get("sp", 1) <= 1:
+        return fn
+    from ..models import attention3d
+
+    def wrapped(*args, **kwargs):
+        with attention3d.sp_scope(mesh):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _path_names(path):
     return [getattr(k, "key", str(k)) for k in path]
 
@@ -273,11 +290,11 @@ def make_video_train_step(
 
     batch_sh = NamedSharding(mesh, P("dp"))
     repl = NamedSharding(mesh, P())
-    return jax.jit(
+    return _sp_wrap(jax.jit(
         step_fn,
         in_shardings=(None, None, batch_sh, batch_sh, repl),
         donate_argnums=(0,),
-    )
+    ), mesh)
 
 
 def make_video_train_epoch(
@@ -321,8 +338,8 @@ def make_video_train_epoch(
     if mesh is None:
         return jax.jit(epoch_fn, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
-    return jax.jit(
+    return _sp_wrap(jax.jit(
         epoch_fn,
         in_shardings=(None, None, repl, repl, repl, repl),
         donate_argnums=(0,),
-    )
+    ), mesh)

@@ -87,3 +87,31 @@ def test_indivisible_tokens_raise():
     with pytest.raises(ValueError, match="not divisible"):
         ring_attention_packed(q[:, :500], k[:, :500], v[:, :500], HEADS,
                               _sp_mesh(8))
+
+
+def test_replicated_kv_mode_forward_and_grads():
+    """Lkv not divisible by sp (the 77-token cross-attention context): the
+    query side shards, k/v stay replicated, dk/dv psum over the ring —
+    exact vs the single-device path."""
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.standard_normal((N, L, HEADS * D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((N, 77, HEADS * D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, 77, HEADS * D)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((N, L, HEADS * D)), jnp.float32)
+    mesh = _sp_mesh(4)
+
+    out = ring_attention_packed(q, k, v, HEADS, mesh)
+    ref = fused_attention_packed(q, k, v, HEADS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) * cot)
+
+    g_ring = jax.grad(loss(lambda q, k, v: ring_attention_packed(
+        q, k, v, HEADS, mesh)), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(lambda q, k, v: fused_attention_packed(
+        q, k, v, HEADS)), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5, err_msg=f"d{name}")

@@ -75,6 +75,44 @@ def test_semantic_tp_sharding_8dev(rng):
     assert not k.sharding.is_fully_replicated
 
 
+def test_semantic_pp_training_matches_single_device():
+    """GPipe-pipelined trainer (train_semantic --pp): the 3-layer hidden
+    stack one stage per "pp" device, out head column-sharded on the same
+    axis.  Step-for-step parity with the single-device trainer (same seed,
+    same data, same optimizer) — losses and returned (standard-tree) params
+    must match."""
+    from eeg2video_tpu.train.semantic import SemanticTrainConfig, train_semantic
+
+    rng_l = np.random.default_rng(7)
+    n, hidden, out_dim = 16, 32, 77 * 2
+    eeg = rng_l.standard_normal((n, 310)).astype(np.float32)
+    text = rng_l.standard_normal((n, out_dim)).astype(np.float32)
+    cfg = SemanticTrainConfig(epochs=3, batch_size=8, hidden=hidden,
+                              out_dim=out_dim)
+
+    ref_vars, ref_losses = train_semantic(eeg, text, cfg, seed=0)
+    pp_vars, pp_losses = train_semantic(eeg, text, cfg, seed=0, pp=3,
+                                        n_micro=4)
+    np.testing.assert_allclose(pp_losses, ref_losses, rtol=1e-5, atol=1e-6)
+    ref_p, pp_p = ref_vars["params"], pp_vars["params"]
+    assert sorted(ref_p) == sorted(pp_p)
+    for name in ref_p:
+        for leaf in ("kernel", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(pp_p[name][leaf]), np.asarray(ref_p[name][leaf]),
+                rtol=1e-5, atol=1e-6, err_msg=f"{name}.{leaf}")
+
+
+def test_semantic_pp_rejects_bad_stage_count():
+    from eeg2video_tpu.train.semantic import SemanticTrainConfig, train_semantic
+
+    eeg = np.zeros((8, 310), np.float32)
+    text = np.zeros((8, 77), np.float32)
+    cfg = SemanticTrainConfig(epochs=1, batch_size=8, hidden=16, out_dim=77)
+    with pytest.raises(ValueError, match="must divide"):
+        train_semantic(eeg, text, cfg, pp=2)
+
+
 def test_dana_matches_reference_with_fixed_noise(rng):
     """Run the reference DANA Diffusion with patched RNG draws, then feed the
     identical draws through our q-sample math."""
