@@ -1387,17 +1387,30 @@ def _axis_size(mesh, names):
 
 
 @functools.lru_cache(maxsize=None)
-def _packed_cp(heads, head_dim, scale, return_lse, interpret):
+def _packed_cp(heads, head_dim, scale, return_lse, interpret,
+               with_bias=False):
     from jax.experimental.custom_partitioning import (
         SdyShardingRule,
         custom_partitioning,
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    @custom_partitioning
-    def f(q, k, v):
-        return _flash_fwd_packed(q, k, v, heads, scale, interpret=interpret,
-                                 return_lse=return_lse)
+    if with_bias:
+        # bias (N, 1, Lkv) is shared across heads: batch shards with the
+        # tokens, the head split leaves it whole per shard (round 4 — the
+        # biased forward previously bypassed custom_partitioning entirely,
+        # so masked attention replicated under tp)
+        @custom_partitioning
+        def f(q, k, v, bias):
+            return _flash_fwd_packed(q, k, v, heads, scale,
+                                     interpret=interpret,
+                                     return_lse=return_lse, bias=bias)
+    else:
+        @custom_partitioning
+        def f(q, k, v):
+            return _flash_fwd_packed(q, k, v, heads, scale,
+                                     interpret=interpret,
+                                     return_lse=return_lse)
 
     def _shardings(mesh, q_sharding, head_dim):
         spec = getattr(q_sharding, "spec", P())
@@ -1409,22 +1422,32 @@ def _packed_cp(heads, head_dim, scale, return_lse, interpret):
         outs = (NamedSharding(mesh, P(n_ax, None, c_ax)),)
         if return_lse:
             outs += (NamedSharding(mesh, P(n_ax, c_ax, None, None)),)
-        return arg, outs, tp
+        bias_sh = NamedSharding(mesh, P(n_ax, None, None))
+        return arg, outs, tp, bias_sh
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
-        _, outs, _ = _shardings(mesh, arg_shapes[0].sharding, None)
+        _, outs, _, _ = _shardings(mesh, arg_shapes[0].sharding, None)
         return outs if return_lse else outs[0]
 
     def partition(mesh, arg_shapes, result_shape):
-        arg, outs, tp = _shardings(mesh, arg_shapes[0].sharding, None)
+        arg, outs, tp, bias_sh = _shardings(mesh, arg_shapes[0].sharding, None)
 
-        def lower_fn(q, k, v):
-            return _flash_fwd_packed(q, k, v, heads // tp, scale,
-                                     interpret=interpret,
-                                     return_lse=return_lse)
+        if with_bias:
+            def lower_fn(q, k, v, bias):
+                return _flash_fwd_packed(q, k, v, heads // tp, scale,
+                                         interpret=interpret,
+                                         return_lse=return_lse, bias=bias)
 
-        return (mesh, lower_fn, outs if return_lse else outs[0],
-                (arg, arg, arg))
+            args = (arg, arg, arg, bias_sh)
+        else:
+            def lower_fn(q, k, v):
+                return _flash_fwd_packed(q, k, v, heads // tp, scale,
+                                         interpret=interpret,
+                                         return_lse=return_lse)
+
+            args = (arg, arg, arg)
+
+        return (mesh, lower_fn, outs if return_lse else outs[0], args)
 
     # Shardy rule: channels are a compound (h d) factor; only n (batch) and
     # h (heads) may shard — lq/lkv/d (and the lse minor dims) must stay whole.
@@ -1432,6 +1455,8 @@ def _packed_cp(heads, head_dim, scale, return_lse, interpret):
 
     hd = CompoundFactor("h", "d")
     operands = (("n", "lq", hd), ("n", "lkv", hd), ("n", "lkv", hd))
+    if with_bias:
+        operands += (("n", "r1", "lkv"),)
     results = (("n", "lq", hd),)
     if return_lse:
         results += (("n", "h", "r8", "lqp"),)
@@ -1443,6 +1468,7 @@ def _packed_cp(heads, head_dim, scale, return_lse, interpret):
         operands, results,
         # must be sorted by first-appearance factor index: lq < d < lkv < ...
         need_replication_factors=("lq", "d", "lkv")
+        + (("r1",) if with_bias else ())
         + (("r8", "lqp") if return_lse else ()),
         **sizes,
     )
@@ -1516,6 +1542,78 @@ def _bwd_cp(heads, head_dim, scale, interpret):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _biased_bwd_cp(heads, head_dim, scale, interpret):
+    """custom_partitioning for the BIASED packed flash backward (round 4):
+    the one previously-unpartitioned pass — a tp-sharded masked training
+    step replicated (all-gathered) around it (PARITY round-3 "Known
+    limitations").  Batch (n) and heads shard exactly like _bwd_cp; the
+    (N, 1, Lkv) bias is head-shared, so each head shard computes a PARTIAL
+    dbias over its local heads and the lowered body psums them over the
+    head-sharding mesh axes.  Mask contract: reference
+    EEG2Video_New/Generation/models/unet.py:314-317."""
+    from jax.experimental.custom_partitioning import (
+        CompoundFactor,
+        SdyShardingRule,
+        custom_partitioning,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def f(q, k, v, do, out, lse, bias):
+        return _flash_bwd_packed(q, k, v, do, out, lse, scale, heads,
+                                 interpret=interpret, bias=bias)
+
+    def _shardings(mesh, q_sharding):
+        spec = getattr(q_sharding, "spec", P())
+        n_ax, c_ax = _spec_get(spec, 0), _spec_get(spec, 2)
+        tp = _axis_size(mesh, c_ax)
+        if heads % tp != 0:
+            c_ax, tp = None, 1
+        tok = NamedSharding(mesh, P(n_ax, None, c_ax))
+        lse_s = NamedSharding(mesh, P(n_ax, c_ax, None))
+        bias_s = NamedSharding(mesh, P(n_ax, None, None))
+        return tok, lse_s, bias_s, c_ax, tp
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        tok, _, bias_s, _, _ = _shardings(mesh, arg_shapes[0].sharding)
+        return (tok, tok, tok, bias_s)
+
+    def partition(mesh, arg_shapes, result_shape):
+        tok, lse_s, bias_s, c_ax, tp = _shardings(mesh, arg_shapes[0].sharding)
+
+        def lower_fn(q, k, v, do, out, lse, bias):
+            dq, dk, dv, dbias = _flash_bwd_packed(
+                q, k, v, do, out, lse, scale, heads // tp,
+                interpret=interpret, bias=bias)
+            if tp > 1:
+                # each shard's dbias covers only its local heads
+                dbias = jax.lax.psum(dbias, c_ax)
+            return dq, dk, dv, dbias
+
+        return (mesh, lower_fn, (tok, tok, tok, bias_s),
+                (tok, tok, tok, tok, tok, lse_s, bias_s))
+
+    hd = CompoundFactor("h", "d")
+    operands = (("n", "lq", hd), ("n", "lkv", hd), ("n", "lkv", hd),
+                ("n", "lq", hd), ("n", "lq", hd), ("n", "h", "lqp"),
+                ("n", "r1", "lkv"))
+    results = (("n", "lq", hd), ("n", "lkv", hd), ("n", "lkv", hd),
+               ("n", "r1", "lkv"))
+    rule = SdyShardingRule(
+        operands, results,
+        # first-appearance order: lq < d < lkv < lqp < r1
+        need_replication_factors=("lq", "d", "lkv", "lqp", "r1"),
+        d=head_dim,
+    )
+    f.def_partition(
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_attention_packed(q, k, v, heads, scale):
     interpret = jax.default_backend() != "tpu"
@@ -1555,8 +1653,8 @@ _flash_attention_packed.defvjp(_flash_attention_packed_fwd,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash_attention_packed_biased(q, k, v, bias, heads, scale):
     interpret = jax.default_backend() != "tpu"
-    return _flash_fwd_packed(q, k, v, heads, scale, interpret=interpret,
-                             bias=bias)
+    return _packed_cp(heads, q.shape[-1] // heads, scale, False, interpret,
+                      with_bias=True)(q, k, v, bias)
 
 
 def _packed_xla(q, k, v, bias, heads, scale):
@@ -1574,8 +1672,8 @@ def _packed_xla(q, k, v, bias, heads, scale):
 
 def _flash_packed_biased_fwd(q, k, v, bias, heads, scale):
     interpret = jax.default_backend() != "tpu"
-    out, lse = _flash_fwd_packed(q, k, v, heads, scale, interpret=interpret,
-                                 return_lse=True, bias=bias)
+    out, lse = _packed_cp(heads, q.shape[-1] // heads, scale, True, interpret,
+                          with_bias=True)(q, k, v, bias)
     out = checkpoint_name(out, "flash_out")  # see _flash_attention_packed_fwd
     lse = checkpoint_name(lse[:, :, 0, :], "flash_out")
     return out, (q, k, v, bias, out, lse)
@@ -1585,11 +1683,13 @@ def _flash_packed_biased_bwd(heads, scale, res, g):
     """Pallas backward with the bias threaded through the score recompute of
     both packed passes (dbias = summed natural-units ds rows) — masked
     training at level-0 shapes no longer materializes (Lq, Lkv) scores the
-    way the round-2 XLA fallback did."""
+    way the round-2 XLA fallback did.  Partitioned under GSPMD like the
+    unbiased pass (_biased_bwd_cp, round 4): batch + heads shard, dbias
+    psums over the head shards."""
     q, k, v, bias, out, lse = res
     interpret = jax.default_backend() != "tpu"
-    return _flash_bwd_packed(q, k, v, g, out, lse, scale, heads,
-                             interpret=interpret, bias=bias)
+    return _biased_bwd_cp(heads, q.shape[-1] // heads, scale,
+                          interpret)(q, k, v, g, out, lse, bias)
 
 
 _flash_attention_packed_biased.defvjp(_flash_packed_biased_fwd,

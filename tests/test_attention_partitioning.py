@@ -79,6 +79,48 @@ def test_tp_sharded_flash_grad_does_not_allgather(mesh, rng):
     assert txt.count("all-gather") == 0, "flash backward replicated under tp"
 
 
+def test_tp_sharded_biased_flash_matches_replicated(mesh, rng):
+    """Round 4: the BIASED forward+backward are partitioned too
+    (_packed_cp(with_bias=True) / _biased_bwd_cp) — previously masked
+    attention was the one unpartitioned kernel surface.  dq/dk/dv shard on
+    heads like the unbiased pass; dbias (head-shared) psums over the head
+    shards.  Mask contract: reference unet.py:314-317."""
+    q, k, v = _inputs(rng)
+    bias = ((rng.random((2, 1, 384)) > 0.3) * -1e4).astype(np.float32)
+    sh = NamedSharding(mesh, P("dp", None, "tp"))
+    bsh = NamedSharding(mesh, P("dp", None, None))
+
+    def loss(q, k, v, bias):
+        return jnp.sum(fused_attention_packed(q, k, v, H, bias=bias) ** 2)
+
+    fn = lambda q, k, v, b: fused_attention_packed(q, k, v, H, bias=b)
+    with mesh:
+        out = np.asarray(jax.jit(fn, in_shardings=(sh, sh, sh, bsh))(q, k, v, bias))
+        gs = jax.jit(jax.grad(loss, (0, 1, 2, 3)),
+                     in_shardings=(sh, sh, sh, bsh))(q, k, v, bias)
+    ref = np.asarray(fn(*(jnp.asarray(x) for x in (q, k, v, bias))))
+    gr = jax.grad(loss, (0, 1, 2, 3))(*(jnp.asarray(x) for x in (q, k, v, bias)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    for a, b, name in zip(gs, gr, ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4, err_msg=name)
+
+
+def test_tp_sharded_biased_flash_does_not_allgather(mesh, rng):
+    q, k, v = _inputs(rng)
+    bias = np.zeros((2, 1, 384), np.float32)
+    sh = NamedSharding(mesh, P("dp", None, "tp"))
+    bsh = NamedSharding(mesh, P("dp", None, None))
+
+    def loss(q, k, v, bias):
+        return jnp.sum(fused_attention_packed(q, k, v, H, bias=bias) ** 2)
+
+    txt = (jax.jit(jax.grad(loss, (0, 1, 2, 3)),
+                   in_shardings=(sh, sh, sh, bsh))
+           .lower(q, k, v, bias).compile().as_text())
+    assert txt.count("all-gather") == 0, "biased flash replicated under tp"
+
+
 def test_odd_tp_falls_back_to_replicated_channels(mesh, rng):
     """heads=8 not divisible by a 3-way split can't happen on this mesh, but
     a sharding proposal that lands inside a head must be rejected: sharding
