@@ -26,6 +26,18 @@ Replies: {"id": "r1", "ok": true, "gifs": ["gifs/0.gif", ...],
           GIF encodes overlap with device compute on writer threads; the
           default encoder is the native C++ one (csrc/gif_encoder.cpp,
           falling back to the Pillow shared-palette path if unbuilt).
+
+Throughput mode — ``--coalesce --max_batch N`` batches clips ACROSS queued
+requests into N-clip device dispatches (measured on the v5e through this
+very loop: 0.664 vs 0.561 clips/s = 1.18x at --max_batch 2, 20 DPM++
+steps; BENCH_NOTES round 4).  Requests with identical generation knobs
+that are already waiting on stdin join the running batch; partial batches
+are padded to N (pad outputs discarded) so ONE warm graph serves every
+queue composition.  Each clip's initial noise is keyed by (request seed,
+clip identity) and its CFG negative rides per-clip through the batch, so a
+clip's output does not depend on which requests it shares a dispatch with.
+Replies stream in arrival order as each request's own GIFs finish — an
+early request in a deep queue is not held for the whole group.
 """
 
 import argparse
@@ -41,8 +53,40 @@ from ..data.video import AsyncVideoWriter, dispatch_ahead
 from ..diffusion.pipeline import latents_from_torch_layout
 from ..utils import get_logger
 from .inference_eeg2video import load_pipeline
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
+
+
+def _load_request(args, req):
+    """Parse one generation request into arrays + identity metadata."""
+    import jax
+
+    emb = load_array(req["embeddings"]).reshape(-1, 77 * 768).astype(np.float32)
+    if req.get("negative") or args.negative:
+        negative = load_array(req.get("negative") or args.negative)
+        negative = negative.reshape(-1).astype(np.float32)
+    else:
+        # reference driver behavior (L45): mean over the WHOLE embedding
+        # file — computed before index selection so a {"indices": [3]}
+        # request uses the same CFG negative as a full-batch request (a
+        # subset mean would make a single-clip request's negative equal its
+        # own embedding, cancelling guidance entirely)
+        negative = emb.mean(axis=0)
+    idx = req.get("indices")
+    if idx is not None:
+        emb = emb[np.asarray(idx, np.int64)]
+    latents = None
+    if req.get("latents"):
+        latents = latents_from_torch_layout(load_array(req["latents"]))
+        if idx is not None:
+            latents = latents[np.asarray(idx, np.int64)]
+    return {
+        "emb": emb, "negative": negative, "latents": latents,
+        "names": list(idx) if idx is not None else list(range(len(emb))),
+        "out_dir": req.get("out_dir") or args.out_dir,
+        "key": jax.random.key(int(req.get("seed", args.seed))),
+    }
 
 
 def _generate(pipe, key, emb, negative, latents, out_dir, args, req,
@@ -92,41 +136,272 @@ def _generate(pipe, key, emb, negative, latents, out_dir, args, req,
 
 
 def handle(pipe, args, req):
-    import jax
-
     if req.get("cmd") == "ping":
         return {"ok": True, "pong": time.time()}
-    emb = load_array(req["embeddings"]).reshape(-1, 77 * 768).astype(np.float32)
-    if req.get("negative") or args.negative:
-        negative = load_array(req.get("negative") or args.negative)
-        negative = negative.reshape(-1).astype(np.float32)
-    else:
-        # reference driver behavior (L45): mean over the WHOLE embedding
-        # file — computed before index selection so a {"indices": [3]}
-        # request uses the same CFG negative as a full-batch request (a
-        # subset mean would make a single-clip request's negative equal its
-        # own embedding, cancelling guidance entirely)
-        negative = emb.mean(axis=0)
-    idx = req.get("indices")
-    if idx is not None:
-        emb = emb[np.asarray(idx, np.int64)]
-    latents = None
-    if req.get("latents"):
-        latents = latents_from_torch_layout(load_array(req["latents"]))
-        if idx is not None:
-            latents = latents[np.asarray(idx, np.int64)]
-    out_dir = req.get("out_dir") or args.out_dir
-    key = jax.random.key(int(req.get("seed", args.seed)))
+    r = _load_request(args, req)
     t0 = time.time()
     # GIFs are named by the requested embedding index (clip identity), so
     # two requests sharing an out_dir write distinct files
-    gifs = _generate(pipe, key, emb, negative, latents, out_dir, args, req,
-                     names=idx)
+    gifs = _generate(pipe, r["key"], r["emb"], r["negative"], r["latents"],
+                     r["out_dir"], args, req, names=req.get("indices"))
     return {"ok": True, "gifs": gifs, "clips": len(gifs),
             "latency_s": round(time.time() - t0, 3)}
 
 
+_KNOBS = ("num_inference_steps", "guidance_scale", "height", "width",
+          "video_length", "sampler", "gif_encoder")
+
+_NOISE_FN = {}
+
+
+def _knob_key(args, req):
+    """Resolved generation knobs — requests batch together iff these match
+    (guidance_scale is a traced scalar so it would not recompile, but a
+    dispatch has ONE guidance value; the rest are compile-shape knobs)."""
+    return tuple(req.get(k, getattr(args, k)) for k in _KNOBS)
+
+
+def _noise_batch(keys, shape):
+    """Stacked per-clip initial noise: row i == what the non-coalesced
+    single-clip path samples in-graph (``normal(fold_in(seed, name),
+    (1,) + shape)``; threefry is vmap-invariant), so a clip's noise never
+    depends on which requests share its dispatch."""
+    import jax
+
+    fn = _NOISE_FN.get(shape)
+    if fn is None:
+        fn = jax.jit(jax.vmap(
+            lambda k: jax.random.normal(k, (1,) + shape)[0]))
+        _NOISE_FN[shape] = fn
+    return fn(keys)
+
+
+def _process_group(pipe, args, group, emit):
+    """Run one coalesced batch of requests (identical knobs).  Every request
+    gets exactly one reply, STREAMED in arrival order as soon as its own
+    GIFs are written — an early request in a deep queue replies after its
+    dispatch lands, not after the whole group (measured on the v5e: an
+    8-request queue at --max_batch 2 completes in 4 overlapped dispatches;
+    without streaming every reply waited the full ~13 s group span)."""
+    import threading
+
+    import jax
+
+    g0 = group[0][0]
+    g = lambda name: g0.get(name, getattr(args, name))
+    f, h, w = g("video_length"), g("height"), g("width")
+    h8, w8 = h // 8, w // 8
+
+    lock = threading.Lock()
+    ready = {}  # slot -> reply, awaiting ordered emission
+    next_emit = [0]
+
+    def finish(slot, reply):
+        # main thread or a GIF-writer callback thread; replies leave in
+        # arrival order (a later slot's reply waits for earlier slots)
+        with lock:
+            ready[slot] = reply
+            while next_emit[0] < len(group) and next_emit[0] in ready:
+                emit(ready.pop(next_emit[0]), group[next_emit[0]][0])
+                next_emit[0] += 1
+
+    try:
+        loaded = []  # (slot, parsed)
+        for slot, (req, _t0) in enumerate(group):
+            try:
+                loaded.append((slot, _load_request(args, req)))
+            except Exception as e:  # reply per-request, keep the batch going
+                finish(slot, {"ok": False,
+                              "error": f"{type(e).__name__}: {e}"})
+        clips = []  # (emb_row, negative, latent_row|None, key, name, out_dir, slot)
+        slot_clips = {}
+        for slot, r in loaded:
+            slot_clips[slot] = len(r["emb"])
+            if not len(r["emb"]):
+                finish(slot, {"ok": True, "gifs": [], "clips": 0,
+                              "latency_s": 0.0, "coalesced": len(group)})
+                continue
+            for j in range(len(r["emb"])):
+                lat = None if r["latents"] is None else r["latents"][j]
+                clips.append((r["emb"][j], r["negative"], lat, r["key"],
+                              int(r["names"][j]), r["out_dir"], slot))
+        n = len(clips)
+        if not n:
+            return
+        emb_all = np.stack([c[0] for c in clips])
+        neg_all = np.stack([c[1] for c in clips])
+        lat_all = np.zeros((n, f, h8, w8, 4), np.float32)
+        need = []
+        for i, c in enumerate(clips):
+            if c[2] is None:
+                need.append(i)
+            else:
+                lat_all[i] = c[2]
+        if need:
+            keys = jax.numpy.stack(
+                [jax.random.fold_in(clips[i][3], clips[i][4]) for i in need])
+            lat_all[np.asarray(need)] = np.asarray(
+                _noise_batch(keys, (f, h8, w8, 4)), np.float32)
+        bs = max(1, args.max_batch)
+        pad = (-n) % bs
+        if pad:  # repeat the last clip: every dispatch hits the ONE warm
+            # graph; pad rows are computed but never flushed
+            emb_all = np.concatenate([emb_all, np.repeat(emb_all[-1:], pad, 0)])
+            neg_all = np.concatenate([neg_all, np.repeat(neg_all[-1:], pad, 0)])
+            lat_all = np.concatenate([lat_all, np.repeat(lat_all[-1:], pad, 0)])
+        gifs = [[] for _ in group]
+        slot_futs = {slot: [] for slot, _ in loaded}
+        writer = AsyncVideoWriter(encoder=g("gif_encoder"))
+
+        def arm(slot):
+            # the slot's last clip is submitted: when its last GIF write
+            # resolves, build and stream the reply
+            futs = list(slot_futs[slot])
+            remaining = [len(futs)]
+
+            def cb(_):
+                with lock:
+                    remaining[0] -= 1
+                    if remaining[0]:
+                        return
+                errs = [e for e in (fu.exception() for fu in futs)
+                        if e is not None]
+                if errs:
+                    finish(slot, {"ok": False,
+                                  "error": f"{type(errs[0]).__name__}: "
+                                           f"{errs[0]}"})
+                else:
+                    finish(slot, {
+                        "ok": True, "gifs": gifs[slot],
+                        "clips": len(gifs[slot]),
+                        "latency_s": round(time.time() - group[slot][1], 3),
+                        "coalesced": len(group)})
+
+            for fu in futs:
+                fu.add_done_callback(cb)
+
+        def run(s):
+            return pipe(
+                emb_all[s:s + bs], neg_all[s:s + bs],
+                latents=lat_all[s:s + bs], key=jax.random.key(0),
+                video_length=f, height=h, width=w,
+                num_inference_steps=g("num_inference_steps"),
+                guidance_scale=g("guidance_scale"), sampler=g("sampler"))
+
+        def flush(videos, s):
+            videos = np.asarray(videos)
+            for j in range(min(bs, n - s)):
+                _, _, _, _, name, out_dir, slot = clips[s + j]
+                os.makedirs(out_dir, exist_ok=True)
+                path = os.path.join(out_dir, f"{name}.gif")
+                slot_futs[slot].append(writer.submit(videos[j:j + 1], path))
+                gifs[slot].append(path)
+                if len(slot_futs[slot]) == slot_clips[slot]:
+                    arm(slot)
+
+        try:
+            dispatch_ahead(range(0, n, bs), run, flush)
+        finally:
+            writer.close()  # all futures resolved -> all callbacks fired
+    except Exception as e:  # batch-level failure: err-reply unfinished slots
+        err = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        with lock:
+            missing = [s for s in range(len(group))
+                       if s >= next_emit[0] and s not in ready]
+        for slot in missing:
+            finish(slot, dict(err))
+
+
+def _serve_coalesced(pipe, args):
+    """Throughput-mode request loop: a reader thread feeds a queue; each
+    iteration drains every already-queued compatible request into one
+    batched `_process_group` call.  Draining stops at the first cmd or
+    knob-mismatched request (kept FIFO via `pending`), so replies stay in
+    arrival order."""
+    import collections
+    import queue as queue_mod
+    import threading
+
+    q = queue_mod.Queue()
+    _EOF = object()
+
+    def reader():
+        for line in sys.stdin:
+            q.put(line)
+        q.put(_EOF)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    def emit(resp, req):
+        if isinstance(req, dict) and "id" in req:
+            resp["id"] = req["id"]
+        print(json.dumps(resp), flush=True)
+
+    def parse(line):
+        line = line.strip()
+        if not line:
+            return None
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError as e:
+            print(json.dumps({"ok": False, "error": f"bad json: {e}"}),
+                  flush=True)
+            return None
+
+    pending = collections.deque()
+    eof = False
+    while True:
+        if pending:
+            req, t0 = pending.popleft()
+        elif eof:
+            return 0
+        else:
+            line = q.get()
+            if line is _EOF:
+                return 0
+            req = parse(line)
+            if req is None:
+                continue
+            t0 = time.time()
+        if req.get("cmd") == "shutdown":
+            print(json.dumps({"ok": True, "bye": True}), flush=True)
+            return 0
+        if req.get("cmd") == "ping":
+            emit({"ok": True, "pong": time.time()}, req)
+            continue
+        group = [(req, t0)]
+        gkey = _knob_key(args, req)
+        while not eof and not pending:
+            try:
+                # only delay dispatch while the batch is still short of one
+                # full device dispatch; past that, take what is instantly
+                # available
+                if (args.coalesce_wait > 0
+                        and len(group) < max(1, args.max_batch)):
+                    line = q.get(timeout=args.coalesce_wait)
+                else:
+                    line = q.get_nowait()
+            except queue_mod.Empty:
+                break
+            if line is _EOF:
+                eof = True
+                break
+            nreq = parse(line)
+            if nreq is None:
+                continue
+            if nreq.get("cmd") or _knob_key(args, nreq) != gkey:
+                pending.append((nreq, time.time()))
+            else:
+                group.append((nreq, time.time()))
+        # every slot is guaranteed exactly one reply (streamed in arrival
+        # order; batch-level failures error-reply the unfinished slots)
+        _process_group(pipe, args, group, emit)
+
+
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--unet", default="./outputs/tuneavideo")
     p.add_argument("--vae", default="./checkpoints/vae/ckpt")
@@ -155,7 +430,21 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=1,
                    help="clips per device dispatch; every distinct batch "
                         "shape compiles its own graph, so 1 keeps a single "
-                        "warm graph for any request size")
+                        "warm graph for any request size (with --coalesce, "
+                        "partial batches are padded so this stays true)")
+    p.add_argument("--coalesce_wait", type=float, default=0.0,
+                   help="with --coalesce: seconds to wait for additional "
+                        "requests to fill one --max_batch dispatch before "
+                        "running (0 = only batch what is already queued; "
+                        "never delays once a full dispatch is gathered)")
+    p.add_argument("--coalesce", action="store_true",
+                   help="throughput mode: batch clips across queued "
+                        "requests into --max_batch-clip dispatches (B=2 "
+                        "measured 1.18x clips/s vs B=1 through this loop "
+                        "on a v5e); per-clip noise keys and per-clip CFG "
+                        "negatives keep each clip's output independent of "
+                        "batch composition; replies stream in arrival "
+                        "order as each request's GIFs finish")
     p.add_argument("--warmup", action="store_true",
                    help="compile the sampling graph on a dummy request "
                         "before reading stdin")
@@ -167,8 +456,16 @@ def main(argv=None):
 
         log.info("warmup: compiling the sampling graph")
         t0 = time.time()
-        out = pipe(np.zeros((args.max_batch, 77 * 768), np.float32),
-                   np.zeros((77 * 768,), np.float32), latents=None,
+        b = args.max_batch
+        if args.coalesce:
+            # the coalesced path always passes explicit latents and stacked
+            # per-clip negatives — warm THAT graph
+            neg = np.zeros((b, 77 * 768), np.float32)
+            lat = np.zeros((b, args.video_length, args.height // 8,
+                            args.width // 8, 4), np.float32)
+        else:
+            neg, lat = np.zeros((77 * 768,), np.float32), None
+        out = pipe(np.zeros((b, 77 * 768), np.float32), neg, latents=lat,
                    key=jax.random.key(0), video_length=args.video_length,
                    height=args.height, width=args.width,
                    num_inference_steps=args.num_inference_steps,
@@ -178,6 +475,9 @@ def main(argv=None):
         float(jax.numpy.sum(out))
         log.info("warmup done in %.1fs", time.time() - t0)
     print(json.dumps({"ok": True, "ready": True}), flush=True)
+
+    if args.coalesce:
+        return _serve_coalesced(pipe, args)
 
     for line in sys.stdin:
         line = line.strip()

@@ -239,8 +239,10 @@ class AsyncVideoWriter:
 
     def submit(self, videos, path, **kw):
         videos = np.asarray(videos)
-        self._futures.append(self._pool.submit(
-            save_videos_grid, videos, path, encoder=self.encoder, **kw))
+        fut = self._pool.submit(
+            save_videos_grid, videos, path, encoder=self.encoder, **kw)
+        self._futures.append(fut)
+        return fut  # callers may stream per-file completion (cli.serve)
 
     def close(self):
         try:

@@ -52,8 +52,13 @@ def _sample(unet, vae, dtype, unet_params, vae_params, embeddings, negative,
     h8, w8 = height // 8, width // 8
 
     emb = embeddings.reshape(b, 77, 768).astype(dtype)
-    neg = jnp.broadcast_to(negative.reshape(1, 77, 768), (b, 77, 768)).astype(dtype)
-    context = jnp.concatenate([neg, emb], axis=0)  # CFG pair batched
+    if negative.ndim == 1:  # one CFG negative shared by the whole batch
+        neg = jnp.broadcast_to(negative.reshape(1, 77, 768), (b, 77, 768))
+    else:  # (B, 77*768): per-clip negatives (serve coalesces requests whose
+        # negatives differ — each request's negative is the mean of its own
+        # embedding file, reference inference_eeg2video.py:45)
+        neg = negative.reshape(b, 77, 768)
+    context = jnp.concatenate([neg.astype(dtype), emb], axis=0)  # CFG pair
 
     if latents is None:
         latents = jax.random.normal(key, (b, video_length, h8, w8, 4), jnp.float32)
@@ -168,7 +173,8 @@ class EEG2VideoPipeline:
 
         embeddings: (B, 77*768) or (B, 77, 768) semantic embeddings
         negative:   (77*768,) CFG negative embedding (reference uses the mean
-                    embedding or the committed negative.npy artifact)
+                    embedding or the committed negative.npy artifact), or
+                    (B, 77*768) per-clip negatives (cross-request batching)
         latents:    optional (B, F, H/8, W/8, 4) channels-last initial latents
                     (use latents_from_torch_layout for reference-format files)
         sampler:    "ddim" (reference semantics, inference_eeg2video.py:74-86)
