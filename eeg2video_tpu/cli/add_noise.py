@@ -18,11 +18,15 @@ from ..data import meta
 from ..data.io import load_array, save_array
 from ..diffusion.dana import dana_add_noise, flow_to_beta
 from ..utils import get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--latents", default="./outputs/seq2seq/latent_out_block7_40_classes.npy")
     p.add_argument("--flow_scores", default="./data/meta_info/All_video_optical_flow_score.npy")

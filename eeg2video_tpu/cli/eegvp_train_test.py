@@ -11,11 +11,15 @@ from ..data import meta
 from ..data.io import save_array, subject_files
 from ..train.eegvp import EEGVPConfig, run_benchmark
 from ..utils import get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--feature_dir", default="./data/Preprocessing/DE_1per1s")
     p.add_argument("--out_dir", default="./outputs/eegvp")

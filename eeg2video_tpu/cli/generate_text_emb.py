@@ -15,11 +15,15 @@ from ..data.io import save_array
 from ..models.clip_text import CLIPTextConfig, CLIPTextModel, clip_text_params_from_torch
 from ..train import checkpoint as ckpt
 from ..utils import get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

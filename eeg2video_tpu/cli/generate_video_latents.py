@@ -18,6 +18,7 @@ from ..data.video import load_gif
 from ..models.vae import AutoencoderKL, VAEConfig
 from ..train import checkpoint as ckpt
 from ..utils import get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
@@ -42,6 +43,9 @@ def _load_vae(vae_ckpt, torch_ckpt=None, dtype="float32"):
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -22,6 +22,7 @@ from ..models.unet3d import UNet3DConfig
 from ..models.vae import VAEConfig
 from ..train import checkpoint as ckpt
 from ..utils import get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
@@ -115,6 +116,9 @@ def legacy_embeddings(features_path, semantic_ckpt=None, torch_semantic=None,
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--embeddings", default="./outputs/semantic/semantic_embeddings.npy")
     p.add_argument("--legacy", action="store_true",

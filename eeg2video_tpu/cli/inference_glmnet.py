@@ -12,11 +12,15 @@ import numpy as np
 from ..data.io import load_array, save_array
 from ..train import checkpoint as ckpt
 from ..utils import get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -13,11 +13,15 @@ from ..data.io import load_array, save_array
 from ..train import checkpoint as ckpt
 from ..train.semantic import predict_semantic
 from ..utils import StandardScaler, get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--features", default="./data/Preprocessing/DE_1per2s/sub1.npy")
     p.add_argument("--ckpt", default="./outputs/semantic/ckpt")

@@ -21,11 +21,15 @@ from ..eval import (
     ssim_score_only,
 )
 from ..utils import get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pred_dir", required=True, help="generated {i}.gif clips (class order)")
     p.add_argument("--gt_dir", required=True, help="ground-truth Block6 gifs (presentation order)")

@@ -38,6 +38,7 @@ import importlib
 import os
 
 from ..utils import get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
@@ -199,6 +200,9 @@ OPTIONAL_STAGES = ["sw", "de_sw", "de_1per1s", "eegvp", "glmnet"]
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--data_root", default="./data")

@@ -17,6 +17,7 @@ from ..data import meta
 from ..data.io import load_array
 from ..train import checkpoint as ckpt
 from ..utils import get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
@@ -61,6 +62,9 @@ def prepare_glmnet_data(raw_sw, de_sw, train_blocks, test_block):
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     import optax

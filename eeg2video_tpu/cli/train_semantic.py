@@ -15,11 +15,15 @@ from ..data.io import load_array
 from ..train import checkpoint as ckpt
 from ..train.semantic import SemanticTrainConfig, prepare_semantic_data, train_semantic
 from ..utils import get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--features", default="./data/Preprocessing/DE_1per2s/sub1.npy")
     p.add_argument("--text_dir", default="./data/Text_embeddings",

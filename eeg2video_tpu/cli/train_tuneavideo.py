@@ -34,6 +34,7 @@ from ..train.videodiffusion import (
     unet_tp_rules,
 )
 from ..utils import get_logger
+from ..utils.cache import enable_persistent_cache
 
 log = get_logger(__name__)
 
@@ -92,6 +93,9 @@ def apply_reference_config(args, cfg_yaml):
 
 
 def main(argv=None):
+    # on-disk XLA executable cache: warm restarts skip minutes of
+    # compilation (utils/cache.py for rationale + measurements)
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -14,6 +14,10 @@ import jax.numpy as jnp
 
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # sharded graphs cache across processes only with the pointer
+    # stripped from the key (utils/cache.py)
+    jax.config.update(
+        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
     N = 50
     B, H, W, CIN, COUT = 12, 36, 64, 320, 320
     key = jax.random.key(0)

@@ -28,6 +28,10 @@ def main():
         args.serial = args.parallel = True
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # sharded graphs cache across processes only with the pointer
+    # stripped from the key (utils/cache.py)
+    jax.config.update(
+        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
     rng = np.random.default_rng(0)
     reps = 10  # DE_1per1s: 2 windows x 5 reps
     n = meta.N_CONCEPTS * reps

@@ -20,6 +20,10 @@ def main():
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # sharded graphs cache across processes only with the pointer
+    # stripped from the key (utils/cache.py)
+    jax.config.update(
+        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
     cfg = UNet3DConfig()
     model = UNet3DConditionModel(cfg, dtype=jnp.bfloat16)
     sample = jnp.zeros((2, 6, 36, 64, 4), jnp.bfloat16)

@@ -62,6 +62,10 @@ def sumsq(x):
 
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # sharded graphs cache across processes only with the pointer
+    # stripped from the key (utils/cache.py)
+    jax.config.update(
+        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
     assert jax.default_backend() == "tpu", (
         f"this script verifies the compiled kernels on the real chip; "
         f"backend is {jax.default_backend()}")

@@ -31,6 +31,10 @@ def main():
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # sharded graphs cache across processes only with the pointer
+    # stripped from the key (utils/cache.py)
+    jax.config.update(
+        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig

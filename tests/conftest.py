@@ -19,8 +19,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache makes repeated test runs fast
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# persistent cache incl. sub-second entries and custom_partitioning graphs
+# (whose default cache key embeds a per-process pointer and never hits);
+# rationale + measurements in eeg2video_tpu/utils/cache.py
+from eeg2video_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache("/tmp/jax_cache")
 
 import numpy as np
 import pytest
