@@ -56,6 +56,17 @@ class UNet3DConfig:
         return cls(block_out_channels=(32, 64, 64, 64), attention_heads=4,
                    cross_attention_dim=16, norm_num_groups=8)
 
+    @classmethod
+    def micro(cls):
+        """Smallest structurally-complete config: 2 levels x 1 layer still
+        instantiates every block class (CrossAttnDown, Down, Mid, Up,
+        CrossAttnUp) and keeps heads/channels divisible for tp<=4, at ~1/4
+        of tiny()'s trace+compile cost.  For tests whose assertion is about
+        parallelism/step semantics rather than the 4-level architecture."""
+        return cls(block_out_channels=(32, 64), layers_per_block=1,
+                   attention_heads=4, cross_attention_dim=16,
+                   norm_num_groups=8)
+
 
 def timestep_embedding(timesteps, dim: int, flip_sin_to_cos=True, freq_shift=0,
                        max_period=10000.0, dtype=jnp.float32):

@@ -95,7 +95,7 @@ def test_unet_attention_mask(rng):
     output there at every level (the mask is stride-2-tracked)."""
     from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
 
-    cfg = UNet3DConfig.tiny()
+    cfg = UNet3DConfig.micro()  # 2 levels: one stride-2 mask resample
     model = UNet3DConditionModel(cfg)
     x = rng.standard_normal((1, 2, 12, 16, 4)).astype(np.float32)
     ctx = rng.standard_normal((1, 7, cfg.cross_attention_dim)).astype(np.float32)

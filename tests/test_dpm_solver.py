@@ -87,8 +87,9 @@ def test_pipeline_dpm_sampler_smoke():
     from eeg2video_tpu.models.unet3d import UNet3DConfig, UNet3DConditionModel
     from eeg2video_tpu.models.vae import AutoencoderKL, VAEConfig
 
-    ucfg = UNet3DConfig.tiny()
-    ucfg = type(ucfg)(**{**ucfg.__dict__, "cross_attention_dim": 768})
+    # micro(): this smoke gates the dpm++ sampler plumbing, not UNet shape
+    ucfg = UNet3DConfig(**{**UNet3DConfig.micro().__dict__,
+                           "cross_attention_dim": 768})
     vcfg = VAEConfig.tiny()
     unet = UNet3DConditionModel(ucfg)
     vae = AutoencoderKL(vcfg)

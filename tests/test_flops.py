@@ -16,7 +16,10 @@ from eeg2video_tpu.utils.flops import (
 
 
 def test_unet_flops_match_xla_cost_analysis():
-    cfg = UNet3DConfig.tiny()
+    # micro() (2 levels, 1 layer): the walk in utils/flops.py is driven by
+    # the same config fields as the model, so structural agreement here
+    # validates the per-block formulas at ~1/4 the lower+compile cost
+    cfg = UNet3DConfig.micro()
     m = UNet3DConditionModel(cfg)
     B, F, H, W = 2, 2, 12, 16
     x = jnp.zeros((B, F, H, W, 4))

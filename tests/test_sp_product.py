@@ -76,7 +76,11 @@ def test_sp_rejects_tp_combination():
 
 
 def test_sp_training_step_matches_unsharded(rng):
-    ucfg, vcfg = _cfgs()
+    # micro() (2 levels): the multi-level ring coverage lives in the
+    # generation test above; this one gates ring-bwd/remat/freeze composition
+    ucfg = UNet3DConfig(**{**UNet3DConfig.micro().__dict__,
+                           "cross_attention_dim": 768})
+    vcfg = VAEConfig.tiny()
     # remat=True and the product freeze rule (train_all=False): the shipped
     # fine-tune graph shape — ring bwd must compose with jax.checkpoint and
     # stop_gradient'd frozen params.  hw=16 keeps one ring level (l=4) plus

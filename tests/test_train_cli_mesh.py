@@ -36,9 +36,10 @@ def test_train_cli_dp_tp_mesh(tmp_path, monkeypatch):
     from eeg2video_tpu.models.vae import AutoencoderKL
     import jax
 
-    tiny_u = UNet3DConfig(block_out_channels=(32, 64, 64, 64),
-                          attention_heads=4, cross_attention_dim=768,
-                          norm_num_groups=8)
+    # micro(): every block class at ~1/4 the trace+compile cost — the
+    # assertions here are about mesh/CLI semantics, not the 4-level shape
+    tiny_u = UNet3DConfig(**{**UNet3DConfig.micro().__dict__,
+                             "cross_attention_dim": 768})
     tiny_v = VAEConfig.tiny()
     monkeypatch.setattr(cli, "UNet3DConfig", lambda: tiny_u)
     monkeypatch.setattr(cli, "VAEConfig", lambda: tiny_v)
@@ -93,9 +94,10 @@ def test_chained_train_checkpoint_inference_mesh(tmp_path, monkeypatch):
     from eeg2video_tpu.data.video import load_gif
     from eeg2video_tpu.models.vae import AutoencoderKL
 
-    tiny_u = UNet3DConfig(block_out_channels=(32, 64, 64, 64),
-                          attention_heads=4, cross_attention_dim=768,
-                          norm_num_groups=8)
+    # micro(): every block class at ~1/4 the trace+compile cost — the
+    # assertions here are about mesh/CLI semantics, not the 4-level shape
+    tiny_u = UNet3DConfig(**{**UNet3DConfig.micro().__dict__,
+                             "cross_attention_dim": 768})
     tiny_v = VAEConfig.tiny()
     monkeypatch.setattr(train_cli, "UNet3DConfig", lambda: tiny_u)
     monkeypatch.setattr(train_cli, "VAEConfig", lambda: tiny_v)
@@ -216,9 +218,10 @@ def test_train_cli_preemption_saves_resumable_checkpoint(tmp_path, monkeypatch):
     from eeg2video_tpu.models.vae import AutoencoderKL
     from eeg2video_tpu.train import videodiffusion as vd
 
-    tiny_u = UNet3DConfig(block_out_channels=(32, 64, 64, 64),
-                          attention_heads=4, cross_attention_dim=768,
-                          norm_num_groups=8)
+    # micro(): every block class at ~1/4 the trace+compile cost — the
+    # assertions here are about mesh/CLI semantics, not the 4-level shape
+    tiny_u = UNet3DConfig(**{**UNet3DConfig.micro().__dict__,
+                             "cross_attention_dim": 768})
     tiny_v = VAEConfig.tiny()
     monkeypatch.setattr(cli, "UNet3DConfig", lambda: tiny_u)
     monkeypatch.setattr(cli, "VAEConfig", lambda: tiny_v)

@@ -17,7 +17,7 @@ from eeg2video_tpu.train.videodiffusion import (
 
 
 def test_train_step_updates_only_trainable_modules(rng):
-    ucfg = UNet3DConfig.tiny()
+    ucfg = UNet3DConfig.micro()  # step/freeze/resume semantics, not shape
     ucfg = type(ucfg)(**{**ucfg.__dict__, "cross_attention_dim": 768})
     vcfg = VAEConfig.tiny()
     tcfg = VideoDiffusionTrainConfig(compute_dtype="float32", remat=False)
@@ -74,7 +74,7 @@ def test_posterior_path_matches_pixel_path(rng):
     the exact same loss as encoding pixels in-step with the same key."""
     from eeg2video_tpu.train.videodiffusion import encode_posteriors
 
-    ucfg = UNet3DConfig.tiny()
+    ucfg = UNet3DConfig.micro()  # step/freeze/resume semantics, not shape
     ucfg = type(ucfg)(**{**ucfg.__dict__, "cross_attention_dim": 768})
     vcfg = VAEConfig.tiny()
     tcfg = VideoDiffusionTrainConfig(compute_dtype="float32", remat=False)
@@ -115,7 +115,7 @@ def test_full_state_checkpoint_resume_is_exact(rng, tmp_path):
     randomness) survive the round-trip."""
     from eeg2video_tpu.train import checkpoint as ckpt
 
-    ucfg = UNet3DConfig.tiny()
+    ucfg = UNet3DConfig.micro()  # step/freeze/resume semantics, not shape
     ucfg = type(ucfg)(**{**ucfg.__dict__, "cross_attention_dim": 768})
     vcfg = VAEConfig.tiny()
     tcfg = VideoDiffusionTrainConfig(compute_dtype="float32", remat=False)
