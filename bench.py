@@ -27,14 +27,10 @@ REF_GPU_SECONDS = 30.0  # documented estimate of the reference GPU path
 
 def main():
     import jax
+    from eeg2video_tpu.utils.cache import enable_persistent_cache
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    # sharded graphs cache across processes only with the pointer
-    # stripped from the key (utils/cache.py)
-    jax.config.update(
-        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_persistent_cache(min_compile_time_secs=1.0)
 
     from eeg2video_tpu.diffusion.pipeline import EEG2VideoPipeline
     from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig

@@ -216,15 +216,36 @@ def _process_group(pipe, args, group, emit):
         clips = []  # (emb_row, negative, latent_row|None, key, name, out_dir, slot)
         slot_clips = {}
         for slot, r in loaded:
-            slot_clips[slot] = len(r["emb"])
-            if not len(r["emb"]):
+            # validate per slot so one request's malformed data (wrong-shape
+            # latents/negative) error-replies THAT request instead of
+            # poisoning the shared batch assembly below — matching the
+            # non-coalesced path's per-request failure isolation
+            try:
+                neg = np.asarray(r["negative"], np.float32).reshape(-1)
+                if neg.shape != (77 * 768,):
+                    raise ValueError(
+                        f"negative has {neg.size} values, expected {77 * 768}")
+                rows = []
+                for j in range(len(r["emb"])):
+                    lat = None
+                    if r["latents"] is not None:
+                        lat = np.asarray(r["latents"][j], np.float32)
+                        if lat.shape != (f, h8, w8, 4):
+                            raise ValueError(
+                                f"latents clip shape {lat.shape} != "
+                                f"{(f, h8, w8, 4)}")
+                    rows.append((r["emb"][j], neg, lat, r["key"],
+                                 int(r["names"][j]), r["out_dir"], slot))
+            except Exception as e:
+                finish(slot, {"ok": False,
+                              "error": f"{type(e).__name__}: {e}"})
+                continue
+            if not rows:
                 finish(slot, {"ok": True, "gifs": [], "clips": 0,
                               "latency_s": 0.0, "coalesced": len(group)})
                 continue
-            for j in range(len(r["emb"])):
-                lat = None if r["latents"] is None else r["latents"][j]
-                clips.append((r["emb"][j], r["negative"], lat, r["key"],
-                              int(r["names"][j]), r["out_dir"], slot))
+            slot_clips[slot] = len(rows)
+            clips.extend(rows)
         n = len(clips)
         if not n:
             return
@@ -288,13 +309,24 @@ def _process_group(pipe, args, group, emit):
                 num_inference_steps=g("num_inference_steps"),
                 guidance_scale=g("guidance_scale"), sampler=g("sampler"))
 
+        path_last = {}  # GIF path -> last submitted write future
+
         def flush(videos, s):
             videos = np.asarray(videos)
             for j in range(min(bs, n - s)):
                 _, _, _, _, name, out_dir, slot = clips[s + j]
                 os.makedirs(out_dir, exist_ok=True)
                 path = os.path.join(out_dir, f"{name}.gif")
-                slot_futs[slot].append(writer.submit(videos[j:j + 1], path))
+                # two coalesced requests can name the same path (same
+                # out_dir + clip index); serialize those writes — the
+                # sequential non-coalesced loop made the second a benign
+                # overwrite, concurrent writer threads would interleave
+                prev = path_last.get(path)
+                if prev is not None:
+                    prev.exception()  # wait; its error stays with ITS slot
+                fu = writer.submit(videos[j:j + 1], path)
+                path_last[path] = fu
+                slot_futs[slot].append(fu)
                 gifs[slot].append(path)
                 if len(slot_futs[slot]) == slot_clips[slot]:
                     arm(slot)
@@ -342,8 +374,12 @@ def _serve_coalesced(pipe, args):
         if not line:
             return None
         try:
-            return json.loads(line)
-        except json.JSONDecodeError as e:
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError(f"expected a JSON object, got "
+                                 f"{type(req).__name__}")
+            return req
+        except (json.JSONDecodeError, ValueError) as e:
             print(json.dumps({"ok": False, "error": f"bad json: {e}"}),
                   flush=True)
             return None
@@ -371,13 +407,22 @@ def _serve_coalesced(pipe, args):
             continue
         group = [(req, t0)]
         gkey = _knob_key(args, req)
+
+        def _clip_count(r):
+            # None = whole embedding file (size unknown here, but >= one
+            # full dispatch in practice): don't hold it for company
+            idx = r.get("indices")
+            return len(idx) if idx is not None else None
+
+        n_clips = _clip_count(req)
         while not eof and not pending:
             try:
                 # only delay dispatch while the batch is still short of one
-                # full device dispatch; past that, take what is instantly
-                # available
-                if (args.coalesce_wait > 0
-                        and len(group) < max(1, args.max_batch)):
+                # full device dispatch of CLIPS (a single multi-clip request
+                # can fill dispatches by itself); past that, take what is
+                # instantly available
+                if (args.coalesce_wait > 0 and n_clips is not None
+                        and n_clips < max(1, args.max_batch)):
                     line = q.get(timeout=args.coalesce_wait)
                 else:
                     line = q.get_nowait()
@@ -393,6 +438,9 @@ def _serve_coalesced(pipe, args):
                 pending.append((nreq, time.time()))
             else:
                 group.append((nreq, time.time()))
+                c = _clip_count(nreq)
+                n_clips = (None if n_clips is None or c is None
+                           else n_clips + c)
         # every slot is guaranteed exactly one reply (streamed in arrival
         # order; batch-level failures error-reply the unfinished slots)
         _process_group(pipe, args, group, emit)
@@ -485,7 +533,10 @@ def main(argv=None):
             continue
         try:
             req = json.loads(line)
-        except json.JSONDecodeError as e:
+            if not isinstance(req, dict):
+                raise ValueError(f"expected a JSON object, got "
+                                 f"{type(req).__name__}")
+        except (json.JSONDecodeError, ValueError) as e:
             print(json.dumps({"ok": False, "error": f"bad json: {e}"}),
                   flush=True)
             continue

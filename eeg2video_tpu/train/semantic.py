@@ -170,6 +170,9 @@ def train_semantic(eeg, text, cfg: SemanticTrainConfig = SemanticTrainConfig(),
             lambda p, x: jax.device_put(
                 x, NamedSharding(mesh, _pp_rules(p, x.shape))), params)
         bs = cfg.batch_size
+        if n_micro < 1:
+            raise ValueError(f"n_micro must be >= 1, got {n_micro}")
+        n_micro = min(n_micro, bs)
         while bs % n_micro:
             n_micro -= 1  # largest divisor <= requested
         apply_fn = _gpipe_semantic_apply(mesh, n_micro)

@@ -9,15 +9,12 @@ import time
 
 import numpy as np
 import jax
+from eeg2video_tpu.utils.cache import enable_persistent_cache
 import jax.numpy as jnp
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    # sharded graphs cache across processes only with the pointer
-    # stripped from the key (utils/cache.py)
-    jax.config.update(
-        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
+    enable_persistent_cache(min_compile_time_secs=1.0)
     N = 50
     B, H, W, CIN, COUT = 12, 36, 64, 320, 320
     key = jax.random.key(0)

@@ -6,12 +6,8 @@ import json, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-# sharded graphs cache across processes only with the pointer
-# stripped from the key (utils/cache.py)
-jax.config.update(
-    "jax_remove_custom_partitioning_ptr_from_cache_key", True)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from eeg2video_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache(min_compile_time_secs=1.0)
 from eeg2video_tpu.diffusion.pipeline import EEG2VideoPipeline
 from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
 from eeg2video_tpu.models.vae import AutoencoderKL, VAEConfig

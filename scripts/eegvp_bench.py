@@ -13,6 +13,7 @@ import time
 import numpy as np
 
 import jax
+from eeg2video_tpu.utils.cache import enable_persistent_cache
 
 from eeg2video_tpu.data import meta
 from eeg2video_tpu.train.eegvp import EEGVPConfig, run_benchmark
@@ -27,11 +28,7 @@ def main():
     if not (args.serial or args.parallel):
         args.serial = args.parallel = True
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    # sharded graphs cache across processes only with the pointer
-    # stripped from the key (utils/cache.py)
-    jax.config.update(
-        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
+    enable_persistent_cache(min_compile_time_secs=1.0)
     rng = np.random.default_rng(0)
     reps = 10  # DE_1per1s: 2 windows x 5 reps
     n = meta.N_CONCEPTS * reps

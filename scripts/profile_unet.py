@@ -7,6 +7,7 @@ Usage: PYTHONPATH=. python scripts/profile_unet.py --logdir /tmp/unet_trace
 import argparse
 
 import jax
+from eeg2video_tpu.utils.cache import enable_persistent_cache
 import jax.numpy as jnp
 
 from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
@@ -19,11 +20,7 @@ def main():
     p.add_argument("--iters", type=int, default=3)
     args = p.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    # sharded graphs cache across processes only with the pointer
-    # stripped from the key (utils/cache.py)
-    jax.config.update(
-        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
+    enable_persistent_cache(min_compile_time_secs=1.0)
     cfg = UNet3DConfig()
     model = UNet3DConditionModel(cfg, dtype=jnp.bfloat16)
     sample = jnp.zeros((2, 6, 36, 64, 4), jnp.bfloat16)

@@ -23,6 +23,7 @@ import time
 import numpy as np
 
 import jax
+from eeg2video_tpu.utils.cache import enable_persistent_cache
 import jax.numpy as jnp
 
 FAILURES = []
@@ -61,11 +62,7 @@ def sumsq(x):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    # sharded graphs cache across processes only with the pointer
-    # stripped from the key (utils/cache.py)
-    jax.config.update(
-        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
+    enable_persistent_cache(min_compile_time_secs=1.0)
     assert jax.default_backend() == "tpu", (
         f"this script verifies the compiled kernels on the real chip; "
         f"backend is {jax.default_backend()}")

@@ -14,6 +14,7 @@ import time
 
 import numpy as np
 import jax
+from eeg2video_tpu.utils.cache import enable_persistent_cache
 import jax.numpy as jnp
 
 
@@ -30,12 +31,7 @@ def main():
                         "logdir and print the per-op bucket summary")
     args = p.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    # sharded graphs cache across processes only with the pointer
-    # stripped from the key (utils/cache.py)
-    jax.config.update(
-        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_persistent_cache(min_compile_time_secs=1.0)
 
     from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
     from eeg2video_tpu.models.vae import AutoencoderKL, VAEConfig

@@ -113,6 +113,23 @@ def test_semantic_pp_rejects_bad_stage_count():
         train_semantic(eeg, text, cfg, pp=2)
 
 
+def test_semantic_pp_rejects_bad_n_micro():
+    """--n_micro 0 must error out, not divide by zero; negative values must
+    error, not loop forever in the largest-divisor clamp; oversized values
+    clamp to the batch size (round-4 review finding)."""
+    from eeg2video_tpu.train.semantic import SemanticTrainConfig, train_semantic
+
+    eeg = np.zeros((8, 310), np.float32)
+    text = np.zeros((8, 77), np.float32)
+    cfg = SemanticTrainConfig(epochs=1, batch_size=8, hidden=16, out_dim=77)
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_micro"):
+            train_semantic(eeg, text, cfg, pp=3, n_micro=bad)
+    # n_micro > batch clamps instead of failing the divisor walk
+    _, losses = train_semantic(eeg, text, cfg, pp=3, n_micro=64)
+    assert np.isfinite(losses).all()
+
+
 def test_dana_matches_reference_with_fixed_noise(rng):
     """Run the reference DANA Diffusion with patched RNG draws, then feed the
     identical draws through our q-sample math."""

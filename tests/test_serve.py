@@ -160,6 +160,112 @@ def test_serve_coalesce_composition_independence(monkeypatch, tiny_pipe,
     assert np.mean(np.abs(a - other)) > 3 * np.mean(np.abs(a - b)) + 3.0
 
 
+def test_serve_coalesce_isolates_malformed_request(monkeypatch, tiny_pipe,
+                                                   tmp_path, rng):
+    """One request's malformed data (wrong-shape latents) error-replies THAT
+    request only — the innocent request sharing its coalesce group still
+    gets its GIFs (round-4 review finding: the shared batch assembly used to
+    raise and error-reply the whole group)."""
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((2, 77 * 768)).astype(np.float32))
+    bad_lat = tmp_path / "bad_lat.npy"  # 5 frames vs video_length 2
+    np.save(bad_lat, rng.standard_normal((2, 4, 5, 4, 4)).astype(np.float32))
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "good", "embeddings": str(emb_path), "indices": [0]},
+        {"id": "bad", "embeddings": str(emb_path), "indices": [1],
+         "latents": str(bad_lat)},
+        {"cmd": "shutdown"},
+    ], extra_args=("--coalesce", "--max_batch", "2", "--coalesce_wait", "2"))
+    assert rc == 0
+    ready, good, bad, bye = lines
+    assert good["id"] == "good" and good["ok"] and good["clips"] == 1
+    for g in good["gifs"]:
+        assert os.path.exists(g)
+    assert bad["id"] == "bad" and not bad["ok"] and "latents" in bad["error"]
+
+
+def test_serve_coalesce_duplicate_paths_are_serialized(monkeypatch, tiny_pipe,
+                                                       tmp_path, rng):
+    """Two coalesced requests naming the same GIF path (same out_dir + clip
+    index) must not corrupt the file with concurrent writer-thread writes:
+    the second write is serialized after the first, and the surviving bytes
+    equal a solo run's."""
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((2, 77 * 768)).astype(np.float32))
+    shared = tmp_path / "shared"
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "a", "embeddings": str(emb_path), "indices": [1],
+         "out_dir": str(shared)},
+        {"id": "b", "embeddings": str(emb_path), "indices": [1],
+         "out_dir": str(shared)},
+        {"cmd": "shutdown"},
+    ], extra_args=("--coalesce", "--max_batch", "2", "--coalesce_wait", "2"))
+    assert rc == 0
+    ra, rb = lines[1], lines[2]
+    assert ra["ok"] and rb["ok"] and ra["coalesced"] == 2
+    rc2, _ = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "solo", "embeddings": str(emb_path), "indices": [1],
+         "out_dir": str(tmp_path / "solo")},
+        {"cmd": "shutdown"},
+    ], extra_args=("--coalesce", "--max_batch", "2", "--coalesce_wait", "2"))
+    assert rc2 == 0
+    with open(shared / "1.gif", "rb") as f:
+        shared_bytes = f.read()
+    with open(tmp_path / "solo" / "1.gif", "rb") as f:
+        solo_bytes = f.read()
+    assert shared_bytes == solo_bytes  # intact, not interleaved
+
+
+def test_serve_coalesce_full_request_skips_wait(monkeypatch, tiny_pipe,
+                                                tmp_path, rng):
+    """A single request already holding >= max_batch clips fills whole
+    dispatches by itself: the coalesce loop must not sit out coalesce_wait
+    for company (it gates on queued CLIPS, not requests)."""
+    import time as time_mod
+
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((2, 77 * 768)).astype(np.float32))
+    t0 = time_mod.time()
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "wide", "embeddings": str(emb_path), "indices": [0, 1]},
+        {"cmd": "shutdown"},
+    ], extra_args=("--coalesce", "--max_batch", "2", "--coalesce_wait", "30"))
+    elapsed = time_mod.time() - t0
+    assert rc == 0
+    assert lines[1]["ok"] and lines[1]["clips"] == 2
+    assert elapsed < 25, f"coalesce loop stalled {elapsed:.1f}s waiting"
+
+
+def test_serve_survives_non_object_json(monkeypatch, tiny_pipe, tmp_path,
+                                         rng):
+    """A JSON scalar/array line is a protocol error, not a service crash —
+    both loops reply {"ok": false} and keep serving (coalesced path covered
+    by the same parse helper)."""
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((1, 77 * 768)).astype(np.float32))
+    for extra in ((), ("--coalesce",)):
+        from eeg2video_tpu.cli import serve
+
+        monkeypatch.setattr(serve, "load_pipeline", lambda *a, **k: tiny_pipe)
+        stdin = io.StringIO('5\n[1, 2]\n' + json.dumps(
+            {"id": "r", "embeddings": str(emb_path)}) + "\n" + json.dumps(
+            {"cmd": "shutdown"}) + "\n")
+        monkeypatch.setattr("sys.stdin", stdin)
+        out = io.StringIO()
+        monkeypatch.setattr("sys.stdout", out)
+        rc = serve.main([
+            "--height", "32", "--width", "32", "--video_length", "2",
+            "--num_inference_steps", "2",
+            "--out_dir", str(tmp_path / f"served{len(extra)}"), *extra])
+        lines = [json.loads(l) for l in out.getvalue().splitlines()
+                 if l.strip()]
+        assert rc == 0
+        bad = [l for l in lines if not l.get("ok")]
+        assert len(bad) == 2 and all("JSON object" in l["error"] for l in bad)
+        good = [l for l in lines if l.get("id") == "r"]
+        assert good and good[0]["ok"] and good[0]["clips"] == 1
+
+
 def test_serve_request_overrides(monkeypatch, tiny_pipe, tmp_path, rng):
     emb_path = tmp_path / "emb.npy"
     np.save(emb_path, rng.standard_normal((1, 77 * 768)).astype(np.float32))
