@@ -38,6 +38,19 @@ clip identity) and its CFG negative rides per-clip through the batch, so a
 clip's output does not depend on which requests it shares a dispatch with.
 Replies stream in arrival order as each request's own GIFs finish — an
 early request in a deep queue is not held for the whole group.
+
+Network transport — ``--listen HOST:PORT`` serves the same JSONL protocol
+over TCP to CONCURRENT clients (port 0 binds ephemerally; the bound port is
+reported on stdout and each connection greets with a ready line).  All
+connections feed one shared queue, so ``--coalesce`` batches clips across
+clients; replies route back to the connection that asked, and GIFs are
+still written server-side to ``out_dir`` (the reply carries the paths — the
+transport moves requests, not pixels).  A ``{"cmd": "shutdown"}`` from any
+client stops the server; disconnects don't.  ``{"cmd": "stats"}`` returns
+served-request counters (requests/clips/errors/mean latency/uptime) on
+every transport.  Socket requests run through the queue loop's
+explicit-latents graph (the same one --coalesce uses) even for groups of
+one.
 """
 
 import argparse
@@ -182,7 +195,11 @@ def _process_group(pipe, args, group, emit):
     GIFs are written — an early request in a deep queue replies after its
     dispatch lands, not after the whole group (measured on the v5e: an
     8-request queue at --max_batch 2 completes in 4 overlapped dispatches;
-    without streaming every reply waited the full ~13 s group span)."""
+    without streaming every reply waited the full ~13 s group span).
+
+    ``group`` entries are (req, t0, client); ``emit(resp, req, client)``
+    routes each reply to the connection the request arrived on (all replies
+    go to stdout in stdin mode)."""
     import threading
 
     import jax
@@ -202,12 +219,13 @@ def _process_group(pipe, args, group, emit):
         with lock:
             ready[slot] = reply
             while next_emit[0] < len(group) and next_emit[0] in ready:
-                emit(ready.pop(next_emit[0]), group[next_emit[0]][0])
+                i = next_emit[0]
+                emit(ready.pop(i), group[i][0], group[i][2])
                 next_emit[0] += 1
 
     try:
         loaded = []  # (slot, parsed)
-        for slot, (req, _t0) in enumerate(group):
+        for slot, (req, _t0, _client) in enumerate(group):
             try:
                 loaded.append((slot, _load_request(args, req)))
             except Exception as e:  # reply per-request, keep the batch going
@@ -344,32 +362,52 @@ def _process_group(pipe, args, group, emit):
             finish(slot, dict(err))
 
 
-def _serve_coalesced(pipe, args):
-    """Throughput-mode request loop: a reader thread feeds a queue; each
-    iteration drains every already-queued compatible request into one
-    batched `_process_group` call.  Draining stops at the first cmd or
-    knob-mismatched request (kept FIFO via `pending`), so replies stay in
-    arrival order."""
-    import collections
-    import queue as queue_mod
-    import threading
+class _StdioClient:
+    """The stdin-mode 'connection': replies print to stdout."""
 
-    q = queue_mod.Queue()
-    _EOF = object()
+    alive = True
 
-    def reader():
-        for line in sys.stdin:
-            q.put(line)
-        q.put(_EOF)
-
-    threading.Thread(target=reader, daemon=True).start()
-
-    def emit(resp, req):
-        if isinstance(req, dict) and "id" in req:
-            resp["id"] = req["id"]
+    def send(self, resp):
         print(json.dumps(resp), flush=True)
 
-    def parse(line):
+
+class _SocketClient:
+    """One accepted connection; ``send`` is thread-safe (reply callbacks
+    fire on GIF-writer threads) and dead peers are dropped, never fatal."""
+
+    def __init__(self, conn):
+        import threading
+
+        self._wfile = conn.makefile("w", encoding="utf-8")
+        self._lock = threading.Lock()
+        self.alive = True
+
+    def send(self, resp):
+        try:
+            with self._lock:
+                self._wfile.write(json.dumps(resp) + "\n")
+                self._wfile.flush()
+        except OSError:
+            self.alive = False
+
+
+def _serve_queue(pipe, args, q, _EOF, stats):
+    """Shared request loop for stdin --coalesce and --listen modes: readers
+    feed ``q`` with (line, client); each iteration drains every
+    already-queued knob-compatible request into one batched
+    `_process_group` call (or, without --coalesce, a group of one).
+    Draining stops at the first cmd or knob-mismatched request (kept FIFO
+    via `pending`), so replies stay in arrival order."""
+    import collections
+    import queue as queue_mod
+
+    def emit(resp, req, client):
+        if isinstance(req, dict) and "id" in req:
+            resp["id"] = req["id"]
+        stats.reply(resp)
+        client.send(resp)
+
+    def parse(line, client):
         line = line.strip()
         if not line:
             return None
@@ -380,32 +418,38 @@ def _serve_coalesced(pipe, args):
                                  f"{type(req).__name__}")
             return req
         except (json.JSONDecodeError, ValueError) as e:
-            print(json.dumps({"ok": False, "error": f"bad json: {e}"}),
-                  flush=True)
+            client.send({"ok": False, "error": f"bad json: {e}"})
             return None
 
     pending = collections.deque()
     eof = False
     while True:
         if pending:
-            req, t0 = pending.popleft()
+            req, t0, client = pending.popleft()
         elif eof:
             return 0
         else:
-            line = q.get()
+            line, client = q.get()
             if line is _EOF:
                 return 0
-            req = parse(line)
+            req = parse(line, client)
             if req is None:
                 continue
             t0 = time.time()
         if req.get("cmd") == "shutdown":
-            print(json.dumps({"ok": True, "bye": True}), flush=True)
+            emit({"ok": True, "bye": True}, req, client)
             return 0
         if req.get("cmd") == "ping":
-            emit({"ok": True, "pong": time.time()}, req)
+            emit({"ok": True, "pong": time.time()}, req, client)
             continue
-        group = [(req, t0)]
+        if req.get("cmd") == "stats":
+            emit(stats.snapshot(), req, client)
+            continue
+        if req.get("cmd"):
+            emit({"ok": False, "error": f"unknown cmd: {req['cmd']}"},
+                 req, client)
+            continue
+        group = [(req, t0, client)]
         gkey = _knob_key(args, req)
 
         def _clip_count(r):
@@ -415,7 +459,7 @@ def _serve_coalesced(pipe, args):
             return len(idx) if idx is not None else None
 
         n_clips = _clip_count(req)
-        while not eof and not pending:
+        while args.coalesce and not eof and not pending:
             try:
                 # only delay dispatch while the batch is still short of one
                 # full device dispatch of CLIPS (a single multi-clip request
@@ -423,27 +467,132 @@ def _serve_coalesced(pipe, args):
                 # instantly available
                 if (args.coalesce_wait > 0 and n_clips is not None
                         and n_clips < max(1, args.max_batch)):
-                    line = q.get(timeout=args.coalesce_wait)
+                    line, nclient = q.get(timeout=args.coalesce_wait)
                 else:
-                    line = q.get_nowait()
+                    line, nclient = q.get_nowait()
             except queue_mod.Empty:
                 break
             if line is _EOF:
                 eof = True
                 break
-            nreq = parse(line)
+            nreq = parse(line, nclient)
             if nreq is None:
                 continue
             if nreq.get("cmd") or _knob_key(args, nreq) != gkey:
-                pending.append((nreq, time.time()))
+                pending.append((nreq, time.time(), nclient))
             else:
-                group.append((nreq, time.time()))
+                group.append((nreq, time.time(), nclient))
                 c = _clip_count(nreq)
                 n_clips = (None if n_clips is None or c is None
                            else n_clips + c)
         # every slot is guaranteed exactly one reply (streamed in arrival
         # order; batch-level failures error-reply the unfinished slots)
         _process_group(pipe, args, group, emit)
+
+
+def _serve_coalesced(pipe, args, stats):
+    """stdin --coalesce mode: one reader thread feeds the shared queue."""
+    import queue as queue_mod
+    import threading
+
+    q = queue_mod.Queue()
+    _EOF = object()
+    client = _StdioClient()
+
+    def reader():
+        for line in sys.stdin:
+            q.put((line, client))
+        q.put((_EOF, client))
+
+    threading.Thread(target=reader, daemon=True).start()
+    return _serve_queue(pipe, args, q, _EOF, stats)
+
+
+def _serve_socket(pipe, args, stats):
+    """--listen HOST:PORT mode: concurrent clients over TCP, one JSONL
+    protocol line per request — the product serving transport (the
+    reference has no serving surface at all; its driver is a one-shot
+    script, inference_eeg2video.py:74-86).  Every connection's requests
+    feed ONE shared queue, so --coalesce batches clips ACROSS clients;
+    replies route back to the connection that asked.  A "shutdown" cmd
+    from any client stops the server; client disconnects don't."""
+    import queue as queue_mod
+    import socket
+    import threading
+
+    host, _, port = args.listen.rpartition(":")
+    srv = socket.create_server((host or "127.0.0.1", int(port)))
+    bound = srv.getsockname()[1]
+    # operator console: the actual port (0 = ephemeral for tests)
+    print(json.dumps({"ok": True, "ready": True, "port": bound}), flush=True)
+
+    q = queue_mod.Queue()
+    _EOF = object()
+    stop = threading.Event()
+
+    def reader(conn, addr):
+        client = _SocketClient(conn)
+        client.send({"ok": True, "ready": True})
+        try:
+            with conn:
+                rfile = conn.makefile("r", encoding="utf-8")
+                for line in rfile:
+                    q.put((line, client))
+                    if stop.is_set():
+                        break
+        except OSError:
+            pass
+        client.alive = False
+        log.info("client %s disconnected", addr)
+
+    def acceptor():
+        while not stop.is_set():
+            try:
+                conn, addr = srv.accept()
+            except OSError:  # listener closed on shutdown
+                return
+            log.info("client %s connected", addr)
+            threading.Thread(target=reader, args=(conn, addr),
+                             daemon=True).start()
+
+    threading.Thread(target=acceptor, daemon=True).start()
+    try:
+        return _serve_queue(pipe, args, q, _EOF, stats)
+    finally:
+        stop.set()
+        srv.close()
+
+
+class _Stats:
+    """Served-request counters behind the {"cmd": "stats"} reply."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._t0 = time.time()
+        self.requests = self.clips = self.errors = 0
+        self.latency_sum = 0.0
+
+    def reply(self, resp):
+        if "pong" in resp or "bye" in resp or "uptime_s" in resp:
+            return
+        with self._lock:
+            self.requests += 1
+            if resp.get("ok"):
+                self.clips += resp.get("clips", 0)
+                self.latency_sum += resp.get("latency_s", 0.0)
+            else:
+                self.errors += 1
+
+    def snapshot(self):
+        with self._lock:
+            done = self.requests - self.errors
+            return {"ok": True, "requests": self.requests,
+                    "clips": self.clips, "errors": self.errors,
+                    "mean_latency_s": round(
+                        self.latency_sum / done, 3) if done else None,
+                    "uptime_s": round(time.time() - self._t0, 1)}
 
 
 def main(argv=None):
@@ -496,6 +645,12 @@ def main(argv=None):
     p.add_argument("--warmup", action="store_true",
                    help="compile the sampling graph on a dummy request "
                         "before reading stdin")
+    p.add_argument("--listen", default=None, metavar="HOST:PORT",
+                   help="serve the JSONL protocol over TCP instead of "
+                        "stdin/stdout: concurrent clients share one queue "
+                        "(with --coalesce their clips batch into shared "
+                        "dispatches), replies route per connection, port 0 "
+                        "binds an ephemeral port (reported on stdout)")
     args = p.parse_args(argv)
 
     pipe = load_pipeline(args.unet, args.vae, dtype=args.dtype)
@@ -505,9 +660,10 @@ def main(argv=None):
         log.info("warmup: compiling the sampling graph")
         t0 = time.time()
         b = args.max_batch
-        if args.coalesce:
-            # the coalesced path always passes explicit latents and stacked
-            # per-clip negatives — warm THAT graph
+        if args.coalesce or args.listen is not None:
+            # the queue-loop paths (coalesce and socket) always pass
+            # explicit latents and stacked per-clip negatives — warm THAT
+            # graph
             neg = np.zeros((b, 77 * 768), np.float32)
             lat = np.zeros((b, args.video_length, args.height // 8,
                             args.width // 8, 4), np.float32)
@@ -522,10 +678,14 @@ def main(argv=None):
         # block_until_ready can return early — see bench.py)
         float(jax.numpy.sum(out))
         log.info("warmup done in %.1fs", time.time() - t0)
+    stats = _Stats()
+    if args.listen is not None:
+        # socket transport prints its own ready line (with the bound port)
+        return _serve_socket(pipe, args, stats)
     print(json.dumps({"ok": True, "ready": True}), flush=True)
 
     if args.coalesce:
-        return _serve_coalesced(pipe, args)
+        return _serve_coalesced(pipe, args, stats)
 
     for line in sys.stdin:
         line = line.strip()
@@ -543,12 +703,19 @@ def main(argv=None):
         if req.get("cmd") == "shutdown":
             print(json.dumps({"ok": True, "bye": True}), flush=True)
             return 0
+        if req.get("cmd") == "stats":
+            resp = stats.snapshot()
+            if "id" in req:
+                resp["id"] = req["id"]
+            print(json.dumps(resp), flush=True)
+            continue
         try:
             resp = handle(pipe, args, req)
         except Exception as e:  # keep serving on per-request failure
             resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
         if "id" in req:
             resp["id"] = req["id"]
+        stats.reply(resp)
         print(json.dumps(resp), flush=True)
     return 0
 

@@ -266,6 +266,137 @@ def test_serve_survives_non_object_json(monkeypatch, tiny_pipe, tmp_path,
         assert good and good[0]["ok"] and good[0]["clips"] == 1
 
 
+class _Client:
+    """Minimal JSONL-over-TCP test client."""
+
+    def __init__(self, port):
+        import socket
+
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        self.rfile = self.sock.makefile("r", encoding="utf-8")
+        ready = json.loads(self.rfile.readline())
+        assert ready["ready"]
+
+    def send(self, req):
+        self.sock.sendall((json.dumps(req) + "\n").encode())
+
+    def recv(self):
+        line = self.rfile.readline()
+        assert line, "server closed the connection unexpectedly"
+        return json.loads(line)
+
+    def close(self):
+        self.sock.close()
+
+
+def _start_socket_server(monkeypatch, tiny_pipe, tmp_path, extra_args=()):
+    """Run serve.main(--listen 127.0.0.1:0) on a thread; return (port,
+    thread).  The ephemeral port is read from the operator-stdout ready
+    line."""
+    import threading
+
+    from eeg2video_tpu.cli import serve
+
+    monkeypatch.setattr(serve, "load_pipeline", lambda *a, **k: tiny_pipe)
+    out_r, out_w = os.pipe()
+    out_file = os.fdopen(out_w, "w")
+    monkeypatch.setattr("sys.stdout", out_file)
+    rc_box = []
+
+    def run():
+        rc_box.append(serve.main([
+            "--listen", "127.0.0.1:0",
+            "--height", "32", "--width", "32", "--video_length", "2",
+            "--num_inference_steps", "2",
+            "--out_dir", str(tmp_path / "served"), *extra_args]))
+        out_file.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    with os.fdopen(out_r) as r:
+        ready = json.loads(r.readline())
+    assert ready["ready"] and ready["port"] > 0
+    return ready["port"], t, rc_box
+
+
+def test_serve_socket_concurrent_clients(monkeypatch, tiny_pipe, tmp_path,
+                                         rng):
+    """--listen serves concurrent TCP clients: replies route to the
+    connection that asked, --coalesce batches clips ACROSS clients, stats
+    counts the served requests, and one client's disconnect doesn't stop
+    service.  Output bytes match the stdin coalesced path's (same graph)."""
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((2, 77 * 768)).astype(np.float32))
+    port, t, rc_box = _start_socket_server(
+        monkeypatch, tiny_pipe, tmp_path,
+        extra_args=("--coalesce", "--max_batch", "2", "--coalesce_wait", "5"))
+
+    c1, c2 = _Client(port), _Client(port)
+    c1.send({"id": "a", "embeddings": str(emb_path), "indices": [0],
+             "out_dir": str(tmp_path / "sock")})
+    c2.send({"id": "b", "embeddings": str(emb_path), "indices": [1],
+             "out_dir": str(tmp_path / "sock")})
+    ra, rb = c1.recv(), c2.recv()
+    assert ra["id"] == "a" and ra["ok"] and ra["clips"] == 1
+    assert rb["id"] == "b" and rb["ok"] and rb["clips"] == 1
+    # the two single-clip requests from DIFFERENT connections shared one
+    # 2-clip dispatch group
+    assert ra["coalesced"] == 2 and rb["coalesced"] == 2
+    for r in (ra, rb):
+        for g in r["gifs"]:
+            assert os.path.exists(g)
+
+    c2.close()  # a client disconnect must not stop the server
+    c1.send({"cmd": "ping"})
+    assert c1.recv()["pong"] > 0
+    c1.send({"cmd": "stats"})
+    st = c1.recv()
+    # pings/stats don't count; the two generation requests do
+    assert st["requests"] == 2 and st["clips"] == 2 and st["errors"] == 0
+    assert st["mean_latency_s"] >= 0 and st["uptime_s"] >= 0
+
+    # same clip through the stdin coalesced path: byte-identical (same
+    # explicit-latents graph, same per-clip noise key)
+    rc, _ = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "x", "embeddings": str(emb_path), "indices": [0],
+         "out_dir": str(tmp_path / "stdin")},
+        {"cmd": "shutdown"},
+    ], extra_args=("--coalesce", "--max_batch", "2", "--coalesce_wait", "2"))
+    assert rc == 0
+    with open(tmp_path / "sock" / "0.gif", "rb") as f:
+        sock_bytes = f.read()
+    with open(tmp_path / "stdin" / "0.gif", "rb") as f:
+        stdin_bytes = f.read()
+    assert sock_bytes == stdin_bytes
+
+    c1.send({"cmd": "shutdown"})
+    assert c1.recv()["bye"]
+    t.join(timeout=30)
+    assert not t.is_alive() and rc_box == [0]
+    c1.close()
+
+
+def test_serve_socket_no_coalesce_single_requests(monkeypatch, tiny_pipe,
+                                                  tmp_path, rng):
+    """--listen without --coalesce: each request is its own group (the
+    queue loop never waits for company), errors stay per-request."""
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((1, 77 * 768)).astype(np.float32))
+    port, t, rc_box = _start_socket_server(monkeypatch, tiny_pipe, tmp_path)
+    c = _Client(port)
+    c.send({"id": "r", "embeddings": str(emb_path),
+            "out_dir": str(tmp_path / "plain_sock")})
+    c.send({"id": "bad", "embeddings": str(tmp_path / "missing.npy")})
+    r, bad = c.recv(), c.recv()
+    assert r["id"] == "r" and r["ok"] and r["coalesced"] == 1
+    assert bad["id"] == "bad" and not bad["ok"]
+    c.send({"cmd": "shutdown"})
+    assert c.recv()["bye"]
+    t.join(timeout=30)
+    assert not t.is_alive() and rc_box == [0]
+    c.close()
+
+
 def test_serve_request_overrides(monkeypatch, tiny_pipe, tmp_path, rng):
     emb_path = tmp_path / "emb.npy"
     np.save(emb_path, rng.standard_normal((1, 77 * 768)).astype(np.float32))
