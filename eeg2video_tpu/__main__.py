@@ -49,7 +49,8 @@ COMMANDS = [
     ("run_metrics", "40_class_run_metrics.py",
      "SSIM/PSNR/hue/MSE + CLIP/ViT/VideoMAE classification metrics"),
     ("serve", "(no reference counterpart — TPU-native serving surface)",
-     "warm-pipeline JSONL generation service on stdin/stdout"),
+     "warm-pipeline JSONL generation service (stdin/stdout or "
+     "--listen TCP; --coalesce batches clips across requests)"),
     ("run_pipeline", "(no reference counterpart — its stages are run by hand)",
      "one-command orchestration of all stages, make-style skip/resume"),
 ]

@@ -535,7 +535,10 @@ def _serve_socket(pipe, args, stats):
         client.send({"ok": True, "ready": True})
         try:
             with conn:
-                rfile = conn.makefile("r", encoding="utf-8")
+                # errors="replace": a stray non-UTF8 byte becomes a bad-json
+                # reply instead of killing this reader thread
+                rfile = conn.makefile("r", encoding="utf-8",
+                                      errors="replace")
                 for line in rfile:
                     q.put((line, client))
                     if stop.is_set():
@@ -651,9 +654,41 @@ def main(argv=None):
                         "(with --coalesce their clips batch into shared "
                         "dispatches), replies route per connection, port 0 "
                         "binds an ephemeral port (reported on stdout)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel serving over a device mesh: each "
+                        "--max_batch dispatch splits its clips across dp "
+                        "devices (requires --coalesce, whose padding keeps "
+                        "every dispatch exactly --max_batch, divisible by "
+                        "dp; 0 = single device)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel UNet sharding (Megatron rules + "
+                        "flash custom_partitioning; any --max_batch)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel (ring attention) sharding of "
+                        "the spatial attention (not combinable with --tp)")
     args = p.parse_args(argv)
 
     pipe = load_pipeline(args.unet, args.vae, dtype=args.dtype)
+    if args.dp or args.tp > 1 or args.sp > 1:
+        import jax
+
+        from ..parallel import make_mesh
+        from ..train import unet_tp_rules
+
+        dp = args.dp or max(1, len(jax.devices()) // (args.tp * args.sp))
+        if dp > 1 and not (args.coalesce or args.listen is not None):
+            p.error("--dp needs --coalesce or --listen: the queue loop "
+                    "pads every dispatch to exactly --max_batch clips, "
+                    "which must divide across the dp devices (the plain "
+                    "stdin path has variable-size tail dispatches)")
+        if dp > 1 and args.max_batch % dp:
+            p.error(f"--max_batch {args.max_batch} must be divisible by "
+                    f"--dp {dp}")
+        n = dp * args.tp * args.sp  # subset mesh when fewer are asked for
+        pipe = pipe.shard(
+            make_mesh(dp=dp, tp=args.tp, sp=args.sp,
+                      devices=jax.devices()[:n]),
+            unet_tp_rules if args.tp > 1 else None)
     if args.warmup:
         import jax
 

@@ -397,6 +397,52 @@ def test_serve_socket_no_coalesce_single_requests(monkeypatch, tiny_pipe,
     c.close()
 
 
+def test_serve_mesh_sharded_matches_single_device(monkeypatch, tiny_pipe,
+                                                  tmp_path, rng):
+    """serve --dp 2 --tp 2: the coalesced dispatch shards clips over dp and
+    UNet weights over tp on the device mesh; the served pixels match the
+    single-device coalesced run (GSPMD partitioning changes nothing
+    numerically beyond float tolerance).  --dp without a fixed-size
+    dispatch path is rejected up front."""
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((2, 77 * 768)).astype(np.float32))
+    reqs = [
+        {"id": "a", "embeddings": str(emb_path), "indices": [0],
+         "out_dir": None},  # placeholder, replaced per run
+        {"id": "b", "embeddings": str(emb_path), "indices": [1],
+         "out_dir": None},
+        {"cmd": "shutdown"},
+    ]
+
+    def run(out_name, extra):
+        rs = [dict(r) for r in reqs]
+        for r in rs[:2]:
+            r["out_dir"] = str(tmp_path / out_name)
+        rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, rs,
+                               extra_args=("--coalesce", "--max_batch", "2",
+                                           "--coalesce_wait", "2", *extra))
+        assert rc == 0
+        assert all(l["ok"] for l in lines if "id" in l)
+
+    run("single", ())
+    run("mesh", ("--dp", "2", "--tp", "2"))
+
+    import imageio.v2 as imageio
+
+    for name in ("0.gif", "1.gif"):
+        a = np.stack(imageio.mimread(tmp_path / "single" / name)).astype(
+            np.float32)
+        b = np.stack(imageio.mimread(tmp_path / "mesh" / name)).astype(
+            np.float32)
+        # identical math through the sharded graph; palette-level tolerance
+        assert np.mean(np.abs(a - b)) < 1.0, f"{name} diverged"
+
+    # --dp over the variable-tail plain stdin path is rejected up front
+    with pytest.raises(SystemExit):
+        _run_serve(monkeypatch, tiny_pipe, tmp_path, [{"cmd": "shutdown"}],
+                   extra_args=("--dp", "2", "--max_batch", "2"))
+
+
 def test_serve_request_overrides(monkeypatch, tiny_pipe, tmp_path, rng):
     emb_path = tmp_path / "emb.npy"
     np.save(emb_path, rng.standard_normal((1, 77 * 768)).astype(np.float32))
