@@ -675,7 +675,15 @@ def main(argv=None):
         from ..parallel import make_mesh
         from ..train import unet_tp_rules
 
-        dp = args.dp or max(1, len(jax.devices()) // (args.tp * args.sp))
+        # implicit dp (--dp 0) fills leftover devices ONLY when the queue
+        # loop is active — `serve --tp 2` alone must not conjure a dp axis
+        # and then error out demanding --coalesce
+        if args.dp:
+            dp = args.dp
+        elif args.coalesce or args.listen is not None:
+            dp = max(1, len(jax.devices()) // (args.tp * args.sp))
+        else:
+            dp = 1
         if dp > 1 and not (args.coalesce or args.listen is not None):
             p.error("--dp needs --coalesce or --listen: the queue loop "
                     "pads every dispatch to exactly --max_batch clips, "

@@ -442,6 +442,14 @@ def test_serve_mesh_sharded_matches_single_device(monkeypatch, tiny_pipe,
         _run_serve(monkeypatch, tiny_pipe, tmp_path, [{"cmd": "shutdown"}],
                    extra_args=("--dp", "2", "--max_batch", "2"))
 
+    # --tp alone must NOT conjure an implicit dp axis from leftover devices
+    # (and then reject the plain stdin path): tp-only serving works there
+    rs = [{"id": "t", "embeddings": str(emb_path), "indices": [0],
+           "out_dir": str(tmp_path / "tponly")}, {"cmd": "shutdown"}]
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, rs,
+                           extra_args=("--tp", "2"))
+    assert rc == 0 and all(l["ok"] for l in lines if "id" in l)
+
 
 def test_serve_request_overrides(monkeypatch, tiny_pipe, tmp_path, rng):
     emb_path = tmp_path / "emb.npy"
