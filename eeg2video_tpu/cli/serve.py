@@ -14,8 +14,16 @@ stdout (logs go to stderr):
   {"id": "r1", "embeddings": "emb.npy", "out_dir": "gifs"}
   {"id": "r2", "embeddings": "emb.npy", "indices": [3, 7],
    "latents": "dana.pt", "seed": 114514, "guidance_scale": 12.5}
+  {"id": "r3", "features": "DE_1per2s/sub1.npy", "block": 6}
   {"cmd": "ping"}
   {"cmd": "shutdown"}
+
+With ``--semantic_ckpt`` (or ``--torch_semantic``) the service is the FULL
+EEG->video product path: a request may carry DE features instead of
+precomputed embeddings — the warm in-process semantic predictor (f32 or
+weight-only int8) encodes them, and the CFG negative is their embedding
+mean, exactly as the two-script reference chain (inference_semantic ->
+inference_eeg2video via an .npy on disk) would produce.
 
 Replies: {"id": "r1", "ok": true, "gifs": ["gifs/0.gif", ...],
           "latency_s": 5.56, "clips": 1} or {"id": ..., "ok": false,
@@ -71,11 +79,112 @@ from ..utils.cache import enable_persistent_cache
 log = get_logger(__name__)
 
 
+def _load_semantic(args):
+    """Load the semantic predictor ONCE at startup and return a warm
+    ``(N, 310) features -> (N, 77*768) embeddings`` callable.
+
+    Serving version of ``inference_semantic``: the jitted MLP graph is
+    built once (not per request), int8 weights are quantized once (the
+    CLI path re-quantizes per run, fine for one-shot, wasteful warm), and
+    variable request sizes are padded to a fixed row chunk so one compiled
+    graph serves every request size."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.semantic import SemanticPredictor
+    from ..train import checkpoint as ckpt
+    from ..utils import StandardScaler
+
+    if args.torch_semantic:
+        from ..models.semantic import semantic_params_from_torch
+
+        variables = semantic_params_from_torch(
+            ckpt.load_torch_state_dict(args.torch_semantic))
+    else:
+        model = SemanticPredictor(hidden=args.hidden)
+        template = jax.eval_shape(lambda: {"params": model.init(
+            jax.random.key(0), jnp.zeros((1, 310)))["params"]})
+        variables, _ = ckpt.restore_checkpoint(args.semantic_ckpt,
+                                               template=template)
+        if variables is None:
+            raise SystemExit(
+                f"no semantic checkpoint in {args.semantic_ckpt}")
+    scaler = (StandardScaler.load(args.semantic_scaler)
+              if args.semantic_scaler else None)
+
+    if args.semantic_int8:
+        # weight-only int8 (ops/int8_dense): quantize ONCE, 4x less HBM
+        # weight traffic per request, output cosine > 0.999 vs f32
+        from ..ops.int8_dense import int8_dense, quantize_dense_tree
+
+        params = (variables["params"] if "params" in variables
+                  else variables)
+        qt = quantize_dense_tree(params)
+        names = ([k for k in sorted(params) if k.startswith("fc")]
+                 + ["out"])
+
+        def apply(x):
+            for i, name in enumerate(names):
+                w_q, scale, bias, n_out = qt[name]
+                x = int8_dense(x, w_q, scale, bias, n_out)
+                if i < len(names) - 1:
+                    x = jax.nn.relu(x)
+            return x
+    else:
+        model = SemanticPredictor(hidden=args.hidden)
+        apply = jax.jit(lambda x: model.apply(variables, x))
+
+    chunk = 100  # rows per dispatch: one warm graph for any request size
+
+    def predict(eeg):
+        eeg = np.asarray(eeg, np.float32).reshape(-1, 310)
+        if scaler is not None:
+            eeg = scaler.transform(eeg)
+        n = len(eeg)
+        pad = (-n) % chunk
+        if pad:
+            eeg = np.concatenate([eeg, np.zeros((pad, 310), np.float32)])
+        out = np.concatenate([
+            np.asarray(apply(jnp.asarray(eeg[s:s + chunk])))
+            for s in range(0, len(eeg), chunk)])
+        return out[:n]
+
+    return predict
+
+
+def _encode_features(args, req):
+    """EEG DE features -> semantic embeddings, in-process (the end-to-end
+    product path: the reference chains inference_semantic -> the driver via
+    an .npy file on disk; here one request carries the features and the
+    warm predictor runs before the diffusion dispatch).
+
+    Accepts the per-subject ``(7, 40, 5, 62, 5)`` DE_1per2s file (reordered
+    by GT_label for ``block``, reference eeg_text.py:127-134 semantics, as
+    in ``inference_semantic``) or a pre-flattened ``(N, 62*5)`` array."""
+    fn = getattr(args, "semantic_predict", None)
+    if fn is None:
+        raise ValueError(
+            "server started without --semantic_ckpt/--torch_semantic: "
+            "'features' requests are unavailable (send 'embeddings', or "
+            "restart serve with a semantic checkpoint)")
+    from ..data import meta
+
+    feats = load_array(req["features"])
+    if feats.ndim > 2:
+        block = int(req.get("block", 6))
+        feats = meta.reorder_by_gt(feats[block], block)
+    return fn(feats)
+
+
 def _load_request(args, req):
     """Parse one generation request into arrays + identity metadata."""
     import jax
 
-    emb = load_array(req["embeddings"]).reshape(-1, 77 * 768).astype(np.float32)
+    if req.get("features"):
+        emb = _encode_features(args, req).reshape(-1, 77 * 768)
+    else:
+        emb = load_array(req["embeddings"]).reshape(
+            -1, 77 * 768).astype(np.float32)
     if req.get("negative") or args.negative:
         negative = load_array(req.get("negative") or args.negative)
         negative = negative.reshape(-1).astype(np.float32)
@@ -648,6 +757,25 @@ def main(argv=None):
     p.add_argument("--warmup", action="store_true",
                    help="compile the sampling graph on a dummy request "
                         "before reading stdin")
+    p.add_argument("--semantic_ckpt", default=None,
+                   help="orbax semantic-predictor checkpoint: loads the "
+                        "EEG->CLIP MLP once so requests can send "
+                        "{'features': de.npy} instead of precomputed "
+                        "embeddings (end-to-end EEG->GIF serving)")
+    p.add_argument("--torch_semantic", default=None,
+                   help="reference eeg2text .pt checkpoint instead of "
+                        "--semantic_ckpt")
+    p.add_argument("--semantic_scaler", default=None,
+                   help="train-split stats.npz (mean_z/std_z) applied to "
+                        "feature requests; omit if features arrive "
+                        "pre-scaled")
+    p.add_argument("--hidden", type=int, default=10000,
+                   help="semantic MLP hidden width")
+    p.add_argument("--semantic_int8", action="store_true",
+                   help="weight-only-int8 semantic serving (ops/"
+                        "int8_dense): weights quantize once at startup, 4x "
+                        "less HBM weight traffic, output cosine > 0.999 "
+                        "vs f32")
     p.add_argument("--listen", default=None, metavar="HOST:PORT",
                    help="serve the JSONL protocol over TCP instead of "
                         "stdin/stdout: concurrent clients share one queue "
@@ -669,6 +797,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     pipe = load_pipeline(args.unet, args.vae, dtype=args.dtype)
+    if args.semantic_ckpt or args.torch_semantic:
+        log.info("loading semantic predictor (hidden=%d%s)", args.hidden,
+                 ", int8" if args.semantic_int8 else "")
+        args.semantic_predict = _load_semantic(args)
     if args.dp or args.tp > 1 or args.sp > 1:
         import jax
 

@@ -451,6 +451,101 @@ def test_serve_mesh_sharded_matches_single_device(monkeypatch, tiny_pipe,
     assert rc == 0 and all(l["ok"] for l in lines if "id" in l)
 
 
+def test_serve_features_end_to_end(monkeypatch, tiny_pipe, tmp_path, rng):
+    """serve --semantic_ckpt: a {'features': ...} request runs the warm
+    in-process semantic predictor (end-to-end EEG->GIF serving); its GIFs
+    are byte-identical to a request carrying the same embeddings
+    precomputed by the two-script chain (StandardScaler + predict_semantic,
+    as inference_semantic writes them), and a features request against a
+    server started WITHOUT a semantic checkpoint error-replies instead of
+    dying."""
+    from eeg2video_tpu.data import meta
+    from eeg2video_tpu.models.semantic import SemanticPredictor
+    from eeg2video_tpu.train import checkpoint as ckpt
+    from eeg2video_tpu.train.semantic import predict_semantic
+    from eeg2video_tpu.utils import StandardScaler
+
+    hidden = 16
+    model = SemanticPredictor(hidden=hidden)
+    variables = {"params": model.init(
+        jax.random.key(7), jnp.zeros((1, 310)))["params"]}
+    ckpt.save_checkpoint(str(tmp_path / "sem"), 0, variables)
+    feats = rng.standard_normal((7, 40, 5, 62, 5)).astype(np.float32)
+    fpath = tmp_path / "de.npy"
+    np.save(fpath, feats)
+    scaler = StandardScaler().fit(feats[:6].reshape(-1, 310))
+    scaler.save(str(tmp_path / "stats.npz"))
+
+    # the two-script reference chain: reorder block 6 by GT_label, z-score
+    # with train stats, predict, hand the .npy to the generation driver
+    block = meta.reorder_by_gt(feats[6], 6).reshape(-1, 310)
+    emb = predict_semantic(variables, scaler.transform(block), hidden=hidden)
+    epath = tmp_path / "emb.npy"
+    np.save(epath, emb)
+
+    sem_args = ("--semantic_ckpt", str(tmp_path / "sem"),
+                "--semantic_scaler", str(tmp_path / "stats.npz"),
+                "--hidden", str(hidden))
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "f", "features": str(fpath), "indices": [0, 3],
+         "out_dir": str(tmp_path / "from_features")},
+        {"id": "e", "embeddings": str(epath), "indices": [0, 3],
+         "out_dir": str(tmp_path / "from_emb")},
+        {"cmd": "shutdown"},
+    ], extra_args=sem_args)
+    assert rc == 0
+    rf, re_ = lines[1], lines[2]
+    assert rf["id"] == "f" and rf["ok"] and rf["clips"] == 2
+    assert re_["id"] == "e" and re_["ok"]
+    for name in ("0.gif", "3.gif"):
+        with open(tmp_path / "from_features" / name, "rb") as a, \
+                open(tmp_path / "from_emb" / name, "rb") as b:
+            assert a.read() == b.read(), f"{name} diverged"
+
+    # same request through the coalesce queue loop (shared _load_request)
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "fc", "features": str(fpath), "indices": [0],
+         "out_dir": str(tmp_path / "coalesced")},
+        {"cmd": "shutdown"},
+    ], extra_args=sem_args + ("--coalesce",))
+    assert rc == 0 and lines[1]["ok"] and lines[1]["clips"] == 1
+
+    # no semantic checkpoint loaded -> per-request error, server keeps going
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "f", "features": str(fpath)},
+        {"cmd": "shutdown"},
+    ])
+    assert rc == 0
+    assert not lines[1]["ok"] and "semantic" in lines[1]["error"]
+
+
+def test_serve_features_int8(monkeypatch, tiny_pipe, tmp_path, rng):
+    """--semantic_int8 quantizes the MLP weights once at startup; a features
+    request serves through the int8 path (interpret-mode Pallas on CPU) and
+    its embedding error vs f32 stays within the documented cosine bound."""
+    from eeg2video_tpu.models.semantic import SemanticPredictor
+    from eeg2video_tpu.train import checkpoint as ckpt
+
+    hidden = 16
+    model = SemanticPredictor(hidden=hidden)
+    variables = {"params": model.init(
+        jax.random.key(3), jnp.zeros((1, 310)))["params"]}
+    ckpt.save_checkpoint(str(tmp_path / "sem"), 0, variables)
+    feats = rng.standard_normal((5, 310)).astype(np.float32)
+    fpath = tmp_path / "flat.npy"
+    np.save(fpath, feats)  # pre-flattened, pre-scaled (no --semantic_scaler)
+
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "q", "features": str(fpath), "indices": [2],
+         "out_dir": str(tmp_path / "int8")},
+        {"cmd": "shutdown"},
+    ], extra_args=("--semantic_ckpt", str(tmp_path / "sem"),
+                   "--hidden", str(hidden), "--semantic_int8"))
+    assert rc == 0
+    r = lines[1]
+    assert r["ok"] and r["clips"] == 1 and os.path.exists(r["gifs"][0])
+
+
 def test_serve_request_overrides(monkeypatch, tiny_pipe, tmp_path, rng):
     emb_path = tmp_path / "emb.npy"
     np.save(emb_path, rng.standard_normal((1, 77 * 768)).astype(np.float32))
