@@ -30,13 +30,29 @@ def main(argv=None):
                    help="load a reference seq2seqmodel.pt instead of --ckpt")
     p.add_argument("--stats_path", default=None,
                    help="stats.npz to restore latent scale (--normalize training)")
+    p.add_argument("--eeg_scaler", default=None,
+                   help="eeg_scaler.npz saved by train_seq2seq_v2: z-score "
+                        "the test EEG with the stored train-split stats "
+                        "instead of refitting from --train_latents/--eeg "
+                        "(no training arrays needed at inference)")
     p.add_argument("--out", default="./outputs/seq2seq/latent_out_block7_40_classes.npy")
     args = p.parse_args(argv)
 
     eeg = load_array(args.eeg)
-    tr_lat = load_array(args.train_latents)
-    te_lat = load_array(args.test_latents)
-    _, _, te_eeg, _, _ = prepare_seq2seq_data(eeg, tr_lat, te_lat)
+    if args.eeg_scaler:
+        from ..data import meta
+        from ..train.seq2seq import windows_from_segments
+        from ..utils import StandardScaler
+
+        scaler = StandardScaler.load(args.eeg_scaler)
+        block = meta.reorder_by_gt(eeg[6], 6).reshape(-1, *eeg.shape[-2:])
+        te_eeg = windows_from_segments(block)
+        te_eeg = scaler.transform(
+            te_eeg.reshape(len(te_eeg), -1)).reshape(te_eeg.shape)
+    else:
+        tr_lat = load_array(args.train_latents)
+        te_lat = load_array(args.test_latents)
+        _, _, te_eeg, _, _ = prepare_seq2seq_data(eeg, tr_lat, te_lat)
 
     if args.torch_ckpt:
         from ..convert.seq2seq_params import seq2seq_params_from_torch

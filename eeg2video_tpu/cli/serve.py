@@ -15,6 +15,8 @@ stdout (logs go to stderr):
   {"id": "r2", "embeddings": "emb.npy", "indices": [3, 7],
    "latents": "dana.pt", "seed": 114514, "guidance_scale": 12.5}
   {"id": "r3", "features": "DE_1per2s/sub1.npy", "block": 6}
+  {"id": "r4", "raw": "Segmented_Rawf_200Hz_2s/sub1.npy", "block": 6,
+   "indices": [0]}
   {"cmd": "ping"}
   {"cmd": "shutdown"}
 
@@ -24,6 +26,20 @@ precomputed embeddings — the warm in-process semantic predictor (f32 or
 weight-only int8) encodes them, and the CFG negative is their embedding
 mean, exactly as the two-script reference chain (inference_semantic ->
 inference_eeg2video via an .npy on disk) would produce.
+
+With ``--seq2seq_ckpt`` (or ``--torch_seq2seq``) the latent branch is
+in-process too: a request may carry ``raw`` segmented EEG instead of a
+precomputed latent artifact — the warm Seq2Seq transformer rolls the
+latents out and (when ``--flow_scores`` is configured, or per-request
+``flow_scores``) DANA noises them, i.e. the reference's full-model latent
+source (Seq2Seq -> add_noise -> driver, three scripts + two disk files)
+collapses into the request.  ``{"dana": false}`` selects the woDANA
+ablation; ``{"seq2seq": false}`` the woSeq2Seq one (noise latents).
+With both checkpoints loaded a request carrying ONLY ``raw`` is the
+whole product — DE features are computed in-process by the dsp.de_psd
+TPU kernel, the semantic predictor conditions, the Seq2Seq+DANA chain
+supplies latents: raw EEG in, GIFs out, every stage warm, zero
+intermediate artifacts.
 
 Replies: {"id": "r1", "ok": true, "gifs": ["gifs/0.gif", ...],
           "latency_s": 5.56, "clips": 1} or {"id": ..., "ok": false,
@@ -152,6 +168,185 @@ def _load_semantic(args):
     return predict
 
 
+def _load_seq2seq(args):
+    """Load the Seq2Seq EEG->latent transformer ONCE at startup and return
+    a warm ``(N, 7, 62, 100) windows -> (N, F, C, H, W) latents`` callable
+    (z-scoring with the persisted train-split scaler and undoing
+    ``--normalize`` latent stats when configured).
+
+    Serving version of the inference_seq2seq_v2 -> add_noise ->
+    inference_eeg2video file chain: the rollout graph compiles once and
+    requests carry raw EEG instead of precomputed latent artifacts."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.seq2seq import Seq2SeqTransformer
+    from ..train import checkpoint as ckpt
+    from ..train.seq2seq import rollout_latents
+    from ..utils import StandardScaler
+
+    model = Seq2SeqTransformer(
+        n_frames=args.seq2seq_frames,
+        latent_shape=tuple(int(d) for d in args.seq2seq_latent.split(",")))
+    if args.torch_seq2seq:
+        from ..convert.seq2seq_params import seq2seq_params_from_torch
+
+        variables = seq2seq_params_from_torch(
+            ckpt.load_torch_state_dict(args.torch_seq2seq))
+    else:
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.key(0),
+                               jnp.zeros((1, 7, 62, 100))))
+        variables, _ = ckpt.restore_checkpoint(args.seq2seq_ckpt,
+                                               template=template)
+        if variables is None:
+            raise SystemExit(
+                f"no seq2seq checkpoint in {args.seq2seq_ckpt}")
+    scaler = (StandardScaler.load(args.seq2seq_scaler)
+              if args.seq2seq_scaler else None)
+    stats = np.load(args.seq2seq_stats) if args.seq2seq_stats else None
+
+    # jit ONCE at startup (rollout_latents builds a fresh jit per call —
+    # fine for the one-shot CLI, a per-request retrace warm); variable
+    # request sizes pad to a fixed row chunk so one compiled graph serves
+    # every request size, same pattern as the semantic predictor above
+    apply = jax.jit(
+        lambda x: model.apply(variables, x, train=False)[1][:, :-1])
+    chunk = 50
+
+    def predict(windows):
+        windows = np.asarray(windows, np.float32)
+        if scaler is not None:
+            windows = scaler.transform(
+                windows.reshape(len(windows), -1)).reshape(windows.shape)
+        n = len(windows)
+        pad = (-n) % chunk
+        if pad:
+            windows = np.concatenate(
+                [windows, np.zeros((pad,) + windows.shape[1:], np.float32)])
+        out = np.concatenate([
+            np.asarray(apply(jnp.asarray(windows[s:s + chunk])))
+            for s in range(0, len(windows), chunk)])[:n]
+        if stats is not None:
+            out = out * stats["std_z"] + stats["mean_z"]
+        return out  # (N, F, C, H, W)
+
+    return predict
+
+
+def _latents_from_raw(args, req, raw=None):
+    """Raw-EEG request -> channels-last latents, in-process: the warm
+    Seq2Seq rollout plus (by default, when flow scores are configured)
+    DANA dynamic noising — the reference's FULL-model latent source,
+    produced by three chained scripts + two disk artifacts
+    (my_autoregressive_transformer.py:377-387 -> add_noise.py:100-129 ->
+    inference_eeg2video.py:66-70); set {"dana": false} for the woDANA
+    ablation (Seq2Seq latents straight into the pipeline).
+
+    ``req["raw"]`` accepts the per-subject segmented ``(7, 40, 5, 62, 400)``
+    file (GT-label-reordered for ``req["block"]``, default 6, exactly as
+    prepare_seq2seq_data orders the latents it was trained against), a
+    caller-ordered ``(N, 62, 400)`` segment stack, or pre-windowed
+    ``(N, 7, 62, 100)`` arrays.  DANA is applied to the WHOLE decoded set
+    before any ``indices`` selection (matching the file chain, where the
+    artifact is noised once and the driver slices clips from it)."""
+    import jax
+
+    from ..data import meta
+    from ..diffusion.dana import dana_add_noise
+
+    fn = getattr(args, "seq2seq_predict", None)
+    if fn is None:
+        raise ValueError(
+            "server started without --seq2seq_ckpt/--torch_seq2seq: 'raw' "
+            "requests are unavailable (send 'latents', or restart serve "
+            "with a seq2seq checkpoint)")
+    from ..train.seq2seq import windows_from_segments
+
+    if raw is None:
+        raw = np.asarray(load_array(req["raw"]), np.float32)
+    block = int(req.get("block", 6))
+    whole_subject = raw.ndim == 5
+    if whole_subject:  # (7, 40, 5, 62, 400)
+        seg = meta.reorder_by_gt(raw[block], block)
+        windows = windows_from_segments(
+            seg.reshape(-1, *seg.shape[-2:]))
+    elif raw.ndim == 3 and raw.shape[-1] == 400:  # (N, 62, 400)
+        windows = windows_from_segments(raw)
+    elif raw.ndim == 4 and raw.shape[-1] == 100:  # (N, 7, 62, 100)
+        windows = raw
+    else:
+        raise ValueError(f"unrecognized raw EEG shape {raw.shape}")
+
+    lat = fn(windows)  # (N, F, C, H, W)
+
+    flow_path = req.get("flow_scores") or args.flow_scores
+    if req.get("dana", flow_path is not None):
+        if flow_path is None:
+            raise ValueError(
+                "request asked for DANA but no flow scores are configured "
+                "(pass 'flow_scores' in the request or start serve with "
+                "--flow_scores)")
+        flow = np.asarray(load_array(flow_path))
+        if whole_subject:
+            # the (7, 200) shipped table, presentation order: slice the
+            # block and reorder labels into class order to match the
+            # latents (the corrected indexing — cli.add_noise
+            # --replicate_label_bug documents the reference's L120 bug)
+            if flow.ndim == 2:
+                flow = flow[block]
+            if flow.size != meta.N_CONCEPTS * meta.N_REPS:
+                raise ValueError(f"{flow.size} flow scores for "
+                                 f"{len(lat)} clips")
+            labels = flow >= args.dana_threshold
+            idx = meta.block_reorder_indices(block)
+            labels = labels.reshape(meta.N_CONCEPTS, meta.N_REPS)[idx]
+            labels = labels.reshape(-1)
+        else:
+            # caller-ordered segments: scores are positional, used as-is
+            labels = (flow.reshape(-1) >= args.dana_threshold)
+        if len(labels) != len(lat):
+            raise ValueError(f"{len(labels)} flow scores for "
+                             f"{len(lat)} clips")
+        betas = np.where(labels, 0.3, 0.2).astype(np.float32)
+        lat = np.asarray(dana_add_noise(
+            jax.random.key(int(req.get("dana_seed", args.dana_seed))),
+            lat, betas, time_steps=args.dana_time_steps))
+    # the rollout layout is known (B, F, C, H, W) -> channels-last directly
+    # (no latents_from_torch_layout shape heuristics at tiny test shapes)
+    return np.transpose(lat, (0, 1, 3, 4, 2))
+
+
+def _features_from_raw(args, req, raw):
+    """2 s raw EEG segments -> DE features -> semantic embeddings, all
+    in-process: the extract_de_psd_features --mode 1per2s stage
+    (dsp.de_psd, the TPU matmul-DFT kernel — the CLI's --f32 path) chained
+    into the warm semantic predictor.  With this, a request carrying ONLY
+    ``raw`` drives both conditioning and (with --seq2seq_ckpt) latents."""
+    from ..data import meta
+    from ..dsp import de_psd
+
+    fn = getattr(args, "semantic_predict", None)
+    if fn is None:
+        raise ValueError(
+            "server started without --semantic_ckpt/--torch_semantic: "
+            "deriving embeddings from 'raw' needs the semantic predictor "
+            "(send 'embeddings'/'features', or restart serve with a "
+            "semantic checkpoint)")
+    if raw.ndim == 5:  # (7, 40, 5, 62, 400)
+        block = int(req.get("block", 6))
+        seg = meta.reorder_by_gt(raw[block], block)
+    elif raw.ndim == 3 and raw.shape[-1] == 2 * meta.FS:  # (N, 62, 400)
+        seg = raw
+    else:
+        raise ValueError(
+            f"deriving DE features needs 2 s raw segments (..., 62, 400), "
+            f"got {raw.shape} (pre-windowed 'raw' arrays can only feed the "
+            f"latent branch — send 'features' or 'embeddings' alongside)")
+    de, _ = de_psd(seg)
+    return fn(np.asarray(de).reshape(-1, meta.N_CHANNELS * meta.N_BANDS))
+
+
 def _encode_features(args, req):
     """EEG DE features -> semantic embeddings, in-process (the end-to-end
     product path: the reference chains inference_semantic -> the driver via
@@ -180,11 +375,18 @@ def _load_request(args, req):
     """Parse one generation request into arrays + identity metadata."""
     import jax
 
+    raw = (np.asarray(load_array(req["raw"]), np.float32)
+           if req.get("raw") else None)  # loaded ONCE for both branches
     if req.get("features"):
         emb = _encode_features(args, req).reshape(-1, 77 * 768)
-    else:
+    elif req.get("embeddings"):
         emb = load_array(req["embeddings"]).reshape(
             -1, 77 * 768).astype(np.float32)
+    elif raw is not None:
+        emb = _features_from_raw(args, req, raw).reshape(-1, 77 * 768)
+    else:
+        raise ValueError(
+            "request carries none of 'embeddings'/'features'/'raw'")
     if req.get("negative") or args.negative:
         negative = load_array(req.get("negative") or args.negative)
         negative = negative.reshape(-1).astype(np.float32)
@@ -199,10 +401,14 @@ def _load_request(args, req):
     if idx is not None:
         emb = emb[np.asarray(idx, np.int64)]
     latents = None
-    if req.get("latents"):
+    # raw implies Seq2Seq latents unless {"seq2seq": false} opts into the
+    # woSeq2Seq ablation (noise latents) — e.g. on a semantic-only server
+    if raw is not None and req.get("seq2seq", True):
+        latents = _latents_from_raw(args, req, raw)
+    elif req.get("latents"):
         latents = latents_from_torch_layout(load_array(req["latents"]))
-        if idx is not None:
-            latents = latents[np.asarray(idx, np.int64)]
+    if latents is not None and idx is not None:
+        latents = latents[np.asarray(idx, np.int64)]
     return {
         "emb": emb, "negative": negative, "latents": latents,
         "names": list(idx) if idx is not None else list(range(len(emb))),
@@ -771,6 +977,40 @@ def main(argv=None):
                         "pre-scaled")
     p.add_argument("--hidden", type=int, default=10000,
                    help="semantic MLP hidden width")
+    p.add_argument("--seq2seq_ckpt", default=None,
+                   help="orbax Seq2Seq checkpoint: loads the EEG->latent "
+                        "transformer once so requests can send {'raw': "
+                        "eeg.npy} instead of precomputed latent artifacts "
+                        "(with --flow_scores this is the reference's FULL "
+                        "model path — Seq2Seq + DANA — served warm)")
+    p.add_argument("--torch_seq2seq", default=None,
+                   help="reference seq2seqmodel.pt instead of "
+                        "--seq2seq_ckpt")
+    p.add_argument("--seq2seq_scaler", default=None,
+                   help="eeg_scaler.npz saved by train_seq2seq_v2 (train-"
+                        "split EEG z-score stats); omit if raw requests "
+                        "arrive pre-scaled")
+    p.add_argument("--seq2seq_stats", default=None,
+                   help="stats.npz from --normalize training: predicted "
+                        "latents are de-normalized mean_z/std_z")
+    p.add_argument("--seq2seq_frames", type=int, default=6,
+                   help="Seq2Seq rollout length (must match the diffusion "
+                        "--video_length)")
+    p.add_argument("--seq2seq_latent", default="4,36,64",
+                   help="C,H,W of one predicted latent frame (must match "
+                        "--height/--width // 8)")
+    p.add_argument("--flow_scores", default=None,
+                   help="optical-flow score table (the shipped (7, 200) "
+                        "All_video_optical_flow_score.npy, or (N,) per-"
+                        "clip scores for segment-form requests): raw "
+                        "requests then default to DANA noising "
+                        "(reference add_noise.py:100-129); per-request "
+                        "'flow_scores'/'dana'/'dana_seed' override")
+    p.add_argument("--dana_threshold", type=float, default=1.799,
+                   help="fast-motion flow cut (reference add_noise.py:107)")
+    p.add_argument("--dana_seed", type=int, default=3407,
+                   help="DANA noising seed (reference add_noise.py:81)")
+    p.add_argument("--dana_time_steps", type=int, default=500)
     p.add_argument("--semantic_int8", action="store_true",
                    help="weight-only-int8 semantic serving (ops/"
                         "int8_dense): weights quantize once at startup, 4x "
@@ -801,6 +1041,10 @@ def main(argv=None):
         log.info("loading semantic predictor (hidden=%d%s)", args.hidden,
                  ", int8" if args.semantic_int8 else "")
         args.semantic_predict = _load_semantic(args)
+    if args.seq2seq_ckpt or args.torch_seq2seq:
+        log.info("loading seq2seq predictor (frames=%d, latent=%s)",
+                 args.seq2seq_frames, args.seq2seq_latent)
+        args.seq2seq_predict = _load_seq2seq(args)
     if args.dp or args.tp > 1 or args.sp > 1:
         import jax
 

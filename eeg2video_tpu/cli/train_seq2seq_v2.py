@@ -44,7 +44,14 @@ def main(argv=None):
     eeg = load_array(args.eeg)
     train_lat = load_array(args.train_latents)
     test_lat = load_array(args.test_latents)
-    tr_eeg, tr_lat, te_eeg, te_lat, _ = prepare_seq2seq_data(eeg, train_lat, test_lat)
+    tr_eeg, tr_lat, te_eeg, te_lat, scaler = prepare_seq2seq_data(
+        eeg, train_lat, test_lat)
+    # persist the train-split EEG scaler: inference/serving can then z-score
+    # raw EEG without refitting from the training arrays (the reference
+    # refits a StandardScaler from the full training set at inference time,
+    # my_autoregressive_transformer.py:321-328)
+    os.makedirs(args.save_path, exist_ok=True)
+    scaler.save(os.path.join(args.save_path, "eeg_scaler.npz"))
 
     if args.normalize:
         mean_z = tr_lat.mean(axis=0, keepdims=True)

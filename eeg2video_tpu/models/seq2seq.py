@@ -176,6 +176,16 @@ class Seq2SeqTransformer(nn.Module):
     n_dec_layers: int = 4
     nhead: int = 4
     n_frames: int = 6
+    # (C, H, W) of one predicted latent frame.  The default is the SEED-DV
+    # geometry the reference hardcodes (4*36*64 = 9216, reference L130);
+    # configurable so tiny-shape tests / non-288x512 pipelines can pair a
+    # Seq2Seq with a matching diffusion pipeline.
+    latent_shape: tuple = (meta.LATENT_CHANNELS, meta.LATENT_HEIGHT,
+                           meta.LATENT_WIDTH)
+
+    @property
+    def latent_dim(self) -> int:
+        return int(np.prod(self.latent_shape))
 
     def setup(self):
         self.eeg_embedding = EEGNetEmbedding(d_model=self.d_model, name="eeg_embedding")
@@ -187,7 +197,7 @@ class Seq2SeqTransformer(nn.Module):
             _DecoderLayer(self.d_model, self.nhead, name=f"dec{i}") for i in range(self.n_dec_layers)
         ]
         self.txtpredictor = nn.Dense(13, name="txtpredictor")
-        self.predictor = nn.Dense(LATENT_DIM, name="predictor")
+        self.predictor = nn.Dense(self.latent_dim, name="predictor")
 
     def _decode(self, tgt_buf, memory, tgt_mask, *, train: bool):
         x = tgt_buf
@@ -207,8 +217,8 @@ class Seq2SeqTransformer(nn.Module):
         # it (L157-158 vs L176-181); computed here too so img_embedding
         # params exist for checkpoint interchange, then dropped (XLA DCE).
         teacher = tgt if tgt is not None else jnp.zeros(
-            (B, 1, LATENT_DIM), emb.dtype)
-        _ = self.img_embedding(teacher.reshape(B, -1, LATENT_DIM))
+            (B, 1, self.latent_dim), emb.dtype)
+        _ = self.img_embedding(teacher.reshape(B, -1, self.latent_dim))
 
         memory = emb
         for layer in self.enc_layers:
@@ -239,7 +249,5 @@ class Seq2SeqTransformer(nn.Module):
         )(self, buf0, jnp.arange(self.n_frames))
 
         txt = self.txtpredictor(jnp.mean(memory, axis=1))
-        lat = self.predictor(buf).reshape(
-            B, L, meta.LATENT_CHANNELS, meta.LATENT_HEIGHT, meta.LATENT_WIDTH
-        )
+        lat = self.predictor(buf).reshape(B, L, *self.latent_shape)
         return txt, lat

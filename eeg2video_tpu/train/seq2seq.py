@@ -33,6 +33,15 @@ class Seq2SeqTrainConfig:
     normalize: bool = False  # latent z-scoring (README branch option)
 
 
+def windows_from_segments(seg: np.ndarray) -> np.ndarray:
+    """(..., C, 400) 2 s raw segments -> (..., 7, C, 100) sliding windows
+    (100 samples every 50, reference my_autoregressive_transformer.py:309-314)
+    — the Seq2Seq model's input contract."""
+    if seg.shape[-1] != 400:
+        raise ValueError(f"expected 400-sample segments, got {seg.shape}")
+    return np.stack([seg[..., i:i + 100] for i in range(0, 301, 50)], axis=-3)
+
+
 def prepare_seq2seq_data(raw_eeg: np.ndarray, train_latents: np.ndarray,
                          test_latents: np.ndarray):
     """Reproduces the reference data plumbing (L278-340): GT-label reorder of
@@ -51,7 +60,7 @@ def prepare_seq2seq_data(raw_eeg: np.ndarray, train_latents: np.ndarray,
     lat = lat.reshape(-1, *train_latents.shape[1:])  # (1200, 4, 6, 36, 64)
 
     # 400 -> 7 windows of 100 every 50 (L309-314), window axis FIRST
-    win = np.stack([eeg[..., i:i + 100] for i in range(0, 301, 50)], axis=3)
+    win = windows_from_segments(eeg)
     # win: (7, 40, 5, 7w, 62, 100) -> flatten trials
     win = win.reshape(7, 40 * 5, 7, 62, 100)
     train_eeg = win[:6].reshape(-1, 7, 62, 100)
@@ -126,10 +135,13 @@ def train_seq2seq(train_eeg, train_lat, cfg: Seq2SeqTrainConfig = Seq2SeqTrainCo
     return {"params": params, "batch_stats": batch_stats}, losses
 
 
-def rollout_latents(variables, eeg, batch_size: int = 50):
+def rollout_latents(variables, eeg, batch_size: int = 50, model=None):
     """Inference rollout -> (N, 6, 4, 36, 64) latents, the
-    latent_out_block7_40_classes.npy artifact (reference L377-387)."""
-    model = Seq2SeqTransformer()
+    latent_out_block7_40_classes.npy artifact (reference L377-387).
+    ``model`` overrides the default-geometry Seq2SeqTransformer (e.g. a
+    non-SEED-DV ``latent_shape``)."""
+    if model is None:
+        model = Seq2SeqTransformer()
 
     @jax.jit
     def f(x):

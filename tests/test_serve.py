@@ -558,3 +558,215 @@ def test_serve_request_overrides(monkeypatch, tiny_pipe, tmp_path, rng):
     resp = lines[-1]
     assert resp["ok"] and resp["gifs"][0].startswith(str(out_dir))
     assert resp["latency_s"] >= 0
+
+
+def test_serve_raw_eeg_end_to_end(monkeypatch, tiny_pipe, tmp_path, rng):
+    """serve --seq2seq_ckpt: a {'raw': ...} request runs the warm in-process
+    Seq2Seq rollout + DANA noising; its GIFs are byte-identical to a request
+    carrying the same latents precomputed by the three-script reference
+    chain (windows -> scale -> rollout -> dana_add_noise -> artifact file).
+    {'dana': false} selects the woDANA ablation, and a raw request against
+    a server without a seq2seq checkpoint error-replies instead of dying."""
+    from eeg2video_tpu.diffusion.dana import dana_add_noise
+    from eeg2video_tpu.models.seq2seq import Seq2SeqTransformer
+    from eeg2video_tpu.train import checkpoint as ckpt
+    from eeg2video_tpu.train.seq2seq import (rollout_latents,
+                                             windows_from_segments)
+    from eeg2video_tpu.utils import StandardScaler
+
+    model = Seq2SeqTransformer(n_frames=2, latent_shape=(4, 4, 4))
+    variables = model.init(jax.random.key(5),
+                           np.zeros((1, 7, 62, 100), np.float32))
+    ckpt.save_checkpoint(str(tmp_path / "s2s"), 0, variables)
+
+    seg = rng.standard_normal((4, 62, 400)).astype(np.float32)
+    raw_path = tmp_path / "raw.npy"
+    np.save(raw_path, seg)
+    win = windows_from_segments(seg)
+    scaler = StandardScaler().fit(win.reshape(len(win), -1))
+    scaler.save(str(tmp_path / "eeg_scaler.npz"))
+    flow = np.asarray([0.5, 2.5, 0.1, 3.0], np.float32)  # (N,) segment form
+    flow_path = tmp_path / "flow.npy"
+    np.save(flow_path, flow)
+
+    # the reference file chain, in-process: z-score, rollout, DANA, artifact
+    x = scaler.transform(win.reshape(len(win), -1)).reshape(win.shape)
+    lat = rollout_latents(variables, x, model=model)  # (4, 2, 4, 4, 4)
+    betas = np.where(flow >= 1.799, 0.3, 0.2).astype(np.float32)
+    noised = np.asarray(dana_add_noise(jax.random.key(3407), lat, betas))
+    lat_path = tmp_path / "lat.npy"
+    np.save(lat_path, noised)
+    nodana_path = tmp_path / "lat_nodana.npy"
+    np.save(nodana_path, lat)
+
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((4, 77 * 768)).astype(np.float32))
+
+    s2s_args = ("--seq2seq_ckpt", str(tmp_path / "s2s"),
+                "--seq2seq_scaler", str(tmp_path / "eeg_scaler.npz"),
+                "--seq2seq_frames", "2", "--seq2seq_latent", "4,4,4",
+                "--flow_scores", str(flow_path))
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "r", "embeddings": str(emb_path), "raw": str(raw_path),
+         "indices": [1, 3], "out_dir": str(tmp_path / "from_raw")},
+        {"id": "l", "embeddings": str(emb_path), "latents": str(lat_path),
+         "indices": [1, 3], "out_dir": str(tmp_path / "from_file")},
+        {"id": "rn", "embeddings": str(emb_path), "raw": str(raw_path),
+         "dana": False, "indices": [0],
+         "out_dir": str(tmp_path / "raw_nodana")},
+        {"id": "ln", "embeddings": str(emb_path),
+         "latents": str(nodana_path), "indices": [0],
+         "out_dir": str(tmp_path / "file_nodana")},
+        {"cmd": "shutdown"},
+    ], extra_args=s2s_args)
+    assert rc == 0
+    rr, rl, rrn, rln = lines[1:5]
+    assert rr["id"] == "r" and rr["ok"] and rr["clips"] == 2
+    assert rl["ok"] and rrn["ok"] and rln["ok"]
+    for name in ("1.gif", "3.gif"):
+        with open(tmp_path / "from_raw" / name, "rb") as a, \
+                open(tmp_path / "from_file" / name, "rb") as b:
+            assert a.read() == b.read(), f"{name} diverged"
+    with open(tmp_path / "raw_nodana" / "0.gif", "rb") as a, \
+            open(tmp_path / "file_nodana" / "0.gif", "rb") as b:
+        assert a.read() == b.read(), "woDANA path diverged"
+
+    # same raw request through the coalesce queue loop (shared _load_request)
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "rc", "embeddings": str(emb_path), "raw": str(raw_path),
+         "indices": [1], "out_dir": str(tmp_path / "raw_coalesced")},
+        {"cmd": "shutdown"},
+    ], extra_args=s2s_args + ("--coalesce",))
+    assert rc == 0 and lines[1]["ok"] and lines[1]["clips"] == 1
+    with open(tmp_path / "raw_coalesced" / "1.gif", "rb") as a, \
+            open(tmp_path / "from_raw" / "1.gif", "rb") as b:
+        assert a.read() == b.read(), "coalesced raw path diverged"
+
+    # no seq2seq checkpoint loaded -> per-request error, server keeps going
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "r", "embeddings": str(emb_path), "raw": str(raw_path)},
+        {"cmd": "shutdown"},
+    ])
+    assert rc == 0
+    assert not lines[1]["ok"] and "seq2seq" in lines[1]["error"]
+
+
+def test_serve_raw_whole_subject_plumbing(tmp_path, rng):
+    """The whole-subject (7, 40, 5, C, 400) raw form: _latents_from_raw
+    GT-reorders the requested block's segments before windowing and
+    reorders the flow labels into the same class order (the corrected
+    add_noise indexing), exactly composing the library pieces."""
+    from types import SimpleNamespace
+
+    from eeg2video_tpu.cli import serve
+    from eeg2video_tpu.data import meta
+    from eeg2video_tpu.diffusion.dana import dana_add_noise
+    from eeg2video_tpu.train.seq2seq import windows_from_segments
+
+    raw = rng.standard_normal((7, 40, 5, 3, 400)).astype(np.float32)
+    raw_path = tmp_path / "raw.npy"
+    np.save(raw_path, raw)
+    flow = rng.uniform(0.0, 4.0, size=(7, 200)).astype(np.float32)
+    flow_path = tmp_path / "flow.npy"
+    np.save(flow_path, flow)
+
+    lat = rng.standard_normal((200, 2, 1, 2, 2)).astype(np.float32)
+    captured = {}
+
+    def fake_predict(windows):
+        captured["windows"] = np.asarray(windows)
+        return lat
+
+    args = SimpleNamespace(seq2seq_predict=fake_predict,
+                           flow_scores=str(flow_path),
+                           dana_threshold=1.799, dana_seed=3407,
+                           dana_time_steps=500)
+    got = serve._latents_from_raw(
+        args, {"raw": str(raw_path), "block": 4})
+
+    seg = meta.reorder_by_gt(raw[4], 4).reshape(-1, 3, 400)
+    np.testing.assert_array_equal(captured["windows"],
+                                  windows_from_segments(seg))
+    labels = (flow[4] >= 1.799).reshape(40, 5)[
+        meta.block_reorder_indices(4)].reshape(-1)
+    betas = np.where(labels, 0.3, 0.2).astype(np.float32)
+    want = np.transpose(
+        np.asarray(dana_add_noise(jax.random.key(3407), lat, betas)),
+        (0, 1, 3, 4, 2))
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    # flow-count mismatch is a per-request error, not a crash
+    np.save(tmp_path / "short_flow.npy", flow[0, :10])
+    with pytest.raises(ValueError, match="flow scores"):
+        serve._latents_from_raw(args, {
+            "raw": str(raw_path), "block": 4,
+            "flow_scores": str(tmp_path / "short_flow.npy")})
+
+
+def test_serve_raw_only_full_product(monkeypatch, tiny_pipe, tmp_path, rng):
+    """With BOTH --semantic_ckpt and --seq2seq_ckpt loaded, a request
+    carrying ONLY {'raw': ...} is the complete product path: DE features
+    are computed in-process (dsp.de_psd), the semantic predictor
+    conditions, the Seq2Seq rollout supplies latents — GIFs byte-identical
+    to the fully file-chained equivalent.  {'seq2seq': false} opts into
+    the woSeq2Seq ablation (noise latents) on the same server."""
+    from eeg2video_tpu.dsp import de_psd
+    from eeg2video_tpu.models.semantic import SemanticPredictor
+    from eeg2video_tpu.models.seq2seq import Seq2SeqTransformer
+    from eeg2video_tpu.train import checkpoint as ckpt
+    from eeg2video_tpu.train.semantic import predict_semantic
+    from eeg2video_tpu.train.seq2seq import (rollout_latents,
+                                             windows_from_segments)
+
+    hidden = 16
+    sem = SemanticPredictor(hidden=hidden)
+    sem_vars = {"params": sem.init(
+        jax.random.key(11), jnp.zeros((1, 310)))["params"]}
+    ckpt.save_checkpoint(str(tmp_path / "sem"), 0, sem_vars)
+    s2s = Seq2SeqTransformer(n_frames=2, latent_shape=(4, 4, 4))
+    s2s_vars = s2s.init(jax.random.key(12),
+                        np.zeros((1, 7, 62, 100), np.float32))
+    ckpt.save_checkpoint(str(tmp_path / "s2s"), 0, s2s_vars)
+
+    seg = rng.standard_normal((3, 62, 400)).astype(np.float32)
+    raw_path = tmp_path / "raw.npy"
+    np.save(raw_path, seg)
+
+    # the file-chained equivalent: DE features -> semantic embeddings file,
+    # windows -> rollout -> latents file (no scalers, no DANA flow)
+    de, _ = de_psd(seg)
+    emb = predict_semantic(sem_vars, np.asarray(de).reshape(-1, 310),
+                           hidden=hidden)
+    np.save(tmp_path / "emb.npy", emb)
+    lat = rollout_latents(s2s_vars, windows_from_segments(seg), model=s2s)
+    np.save(tmp_path / "lat.npy", lat)
+
+    both_args = ("--semantic_ckpt", str(tmp_path / "sem"),
+                 "--hidden", str(hidden),
+                 "--seq2seq_ckpt", str(tmp_path / "s2s"),
+                 "--seq2seq_frames", "2", "--seq2seq_latent", "4,4,4")
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "raw", "raw": str(raw_path), "indices": [0, 2],
+         "out_dir": str(tmp_path / "raw_only")},
+        {"id": "chain", "embeddings": str(tmp_path / "emb.npy"),
+         "latents": str(tmp_path / "lat.npy"), "indices": [0, 2],
+         "out_dir": str(tmp_path / "chained")},
+        {"id": "wo", "raw": str(raw_path), "seq2seq": False,
+         "indices": [0], "out_dir": str(tmp_path / "wo_seq2seq")},
+        {"id": "wo_chain", "embeddings": str(tmp_path / "emb.npy"),
+         "indices": [0], "out_dir": str(tmp_path / "wo_chained")},
+        {"id": "none", "out_dir": str(tmp_path / "nothing")},
+        {"cmd": "shutdown"},
+    ], extra_args=both_args)
+    assert rc == 0
+    r_raw, r_chain, r_wo, r_woc, r_none = lines[1:6]
+    assert r_raw["ok"] and r_raw["clips"] == 2, r_raw
+    assert r_chain["ok"] and r_wo["ok"] and r_woc["ok"]
+    for name in ("0.gif", "2.gif"):
+        with open(tmp_path / "raw_only" / name, "rb") as a, \
+                open(tmp_path / "chained" / name, "rb") as b:
+            assert a.read() == b.read(), f"{name} diverged"
+    with open(tmp_path / "wo_seq2seq" / "0.gif", "rb") as a, \
+            open(tmp_path / "wo_chained" / "0.gif", "rb") as b:
+        assert a.read() == b.read(), "woSeq2Seq ablation diverged"
+    assert not r_none["ok"] and "embeddings" in r_none["error"]
