@@ -150,16 +150,19 @@ def _load_semantic(args):
         model = SemanticPredictor(hidden=args.hidden)
         apply = jax.jit(lambda x: model.apply(variables, x))
 
-    chunk = 100  # rows per dispatch: one warm graph for any request size
+    # rows per dispatch: one warm graph for any request size — the SAME
+    # chunk as the file-chain predict_semantic, so server output is
+    # bitwise-identical to the chained CLI artifacts (shape unification;
+    # see train/semantic.PREDICT_CHUNK)
+    from ..train.semantic import PREDICT_CHUNK as chunk
+    from ..train.semantic import pad_rows
 
     def predict(eeg):
         eeg = np.asarray(eeg, np.float32).reshape(-1, 310)
         if scaler is not None:
             eeg = scaler.transform(eeg)
         n = len(eeg)
-        pad = (-n) % chunk
-        if pad:
-            eeg = np.concatenate([eeg, np.zeros((pad, 310), np.float32)])
+        eeg = pad_rows(eeg, chunk)
         out = np.concatenate([
             np.asarray(apply(jnp.asarray(eeg[s:s + chunk])))
             for s in range(0, len(eeg), chunk)])
@@ -212,7 +215,10 @@ def _load_seq2seq(args):
     # every request size, same pattern as the semantic predictor above
     apply = jax.jit(
         lambda x: model.apply(variables, x, train=False)[1][:, :-1])
-    chunk = 50
+    # SAME chunk as the file-chain rollout_latents -> bitwise-identical
+    # latents between server and chained CLI (train/seq2seq.ROLLOUT_CHUNK)
+    from ..train.semantic import pad_rows
+    from ..train.seq2seq import ROLLOUT_CHUNK as chunk
 
     def predict(windows):
         windows = np.asarray(windows, np.float32)
@@ -220,10 +226,7 @@ def _load_seq2seq(args):
             windows = scaler.transform(
                 windows.reshape(len(windows), -1)).reshape(windows.shape)
         n = len(windows)
-        pad = (-n) % chunk
-        if pad:
-            windows = np.concatenate(
-                [windows, np.zeros((pad,) + windows.shape[1:], np.float32)])
+        windows = pad_rows(windows, chunk)
         out = np.concatenate([
             np.asarray(apply(jnp.asarray(windows[s:s + chunk])))
             for s in range(0, len(windows), chunk)])[:n]

@@ -243,21 +243,42 @@ def _null_ctx():
     return contextlib.nullcontext()
 
 
+# Rows per compiled dispatch in the predict paths below.  The serving
+# loader (cli/serve._load_semantic) pads requests to this SAME chunk, so
+# the CLI file chain and the warm server run one identical compiled graph:
+# XLA tiles different batch shapes differently (~1e-6 output drift), which
+# can cross a uint8 GIF quantization boundary downstream — so shape
+# unification, not tolerance, is what makes the two paths byte-identical.
+PREDICT_CHUNK = 100
+
+
+def pad_rows(x, chunk):
+    """Zero-pad axis 0 of ``x`` up to a multiple of ``chunk`` (shape
+    unification for fixed-chunk jitted dispatch; see PREDICT_CHUNK)."""
+    pad = (-len(x)) % chunk
+    if pad:
+        x = np.concatenate(
+            [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x
+
+
 def predict_semantic(variables, eeg, hidden=10000, out_dim=77 * 768,
-                     batch_size=100):
+                     batch_size=PREDICT_CHUNK):
     model = SemanticPredictor(hidden=hidden, out_dim=out_dim)
 
     @jax.jit
     def f(x):
         return model.apply(variables, x)
 
+    n = len(eeg)
+    eeg = pad_rows(np.asarray(eeg, np.float32), batch_size)
     return np.concatenate([
-        np.asarray(f(jnp.asarray(eeg[s:s + batch_size], jnp.float32)))
+        np.asarray(f(jnp.asarray(eeg[s:s + batch_size])))
         for s in range(0, len(eeg), batch_size)
-    ])
+    ])[:n]
 
 
-def predict_semantic_int8(variables, eeg, batch_size=100, bn=512):
+def predict_semantic_int8(variables, eeg, batch_size=PREDICT_CHUNK, bn=512):
     """Weight-only-int8 serving of the semantic MLP (ops/int8_dense): the
     894M f32 weights quantize once to per-column int8 (~0.9 GB resident
     instead of 3.6), and each GEMM streams 4x fewer weight bytes — the
@@ -277,7 +298,9 @@ def predict_semantic_int8(variables, eeg, batch_size=100, bn=512):
                 x = jax.nn.relu(x)
         return x
 
+    n = len(eeg)
+    eeg = pad_rows(np.asarray(eeg, np.float32), batch_size)
     return np.concatenate([
-        np.asarray(f(jnp.asarray(eeg[s:s + batch_size], jnp.float32)))
+        np.asarray(f(jnp.asarray(eeg[s:s + batch_size])))
         for s in range(0, len(eeg), batch_size)
-    ])
+    ])[:n]

@@ -135,11 +135,23 @@ def train_seq2seq(train_eeg, train_lat, cfg: Seq2SeqTrainConfig = Seq2SeqTrainCo
     return {"params": params, "batch_stats": batch_stats}, losses
 
 
-def rollout_latents(variables, eeg, batch_size: int = 50, model=None):
+# Rows per compiled dispatch in rollout_latents; cli/serve._load_seq2seq
+# pads requests to this SAME chunk so the file-chained CLI and the warm
+# server run one identical compiled graph (bitwise-equal latents; see
+# train/semantic.PREDICT_CHUNK for the rationale).
+ROLLOUT_CHUNK = 50
+
+
+def rollout_latents(variables, eeg, batch_size: int = ROLLOUT_CHUNK,
+                    model=None):
     """Inference rollout -> (N, 6, 4, 36, 64) latents, the
     latent_out_block7_40_classes.npy artifact (reference L377-387).
     ``model`` overrides the default-geometry Seq2SeqTransformer (e.g. a
-    non-SEED-DV ``latent_shape``)."""
+    non-SEED-DV ``latent_shape``).  The final ragged chunk is zero-padded
+    to ``batch_size`` (batch elements are independent) so every dispatch
+    shares one compiled shape with the serving path."""
+    from .semantic import pad_rows
+
     if model is None:
         model = Seq2SeqTransformer()
 
@@ -148,6 +160,8 @@ def rollout_latents(variables, eeg, batch_size: int = 50, model=None):
         _, out = model.apply(variables, x, train=False)
         return out[:, :-1]
 
-    outs = [np.asarray(f(jnp.asarray(eeg[s:s + batch_size], jnp.float32)))
+    n = len(eeg)
+    eeg = pad_rows(np.asarray(eeg, np.float32), batch_size)
+    outs = [np.asarray(f(jnp.asarray(eeg[s:s + batch_size])))
             for s in range(0, len(eeg), batch_size)]
-    return np.concatenate(outs)
+    return np.concatenate(outs)[:n]
