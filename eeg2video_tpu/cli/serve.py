@@ -299,8 +299,10 @@ def _latents_from_raw(args, req, raw=None):
             if flow.ndim == 2:
                 flow = flow[block]
             if flow.size != meta.N_CONCEPTS * meta.N_REPS:
-                raise ValueError(f"{flow.size} flow scores for "
-                                 f"{len(lat)} clips")
+                raise ValueError(
+                    f"{flow.size} flow scores, expected "
+                    f"{meta.N_CONCEPTS * meta.N_REPS} for a "
+                    "whole-subject request")
             labels = flow >= args.dana_threshold
             idx = meta.block_reorder_indices(block)
             labels = labels.reshape(meta.N_CONCEPTS, meta.N_REPS)[idx]
@@ -378,6 +380,7 @@ def _load_request(args, req):
     """Parse one generation request into arrays + identity metadata."""
     import jax
 
+    _check_request_knobs(args, req)
     raw = (np.asarray(load_array(req["raw"]), np.float32)
            if req.get("raw") else None)  # loaded ONCE for both branches
     if req.get("features"):
@@ -407,6 +410,12 @@ def _load_request(args, req):
     # raw implies Seq2Seq latents unless {"seq2seq": false} opts into the
     # woSeq2Seq ablation (noise latents) — e.g. on a semantic-only server
     if raw is not None and req.get("seq2seq", True):
+        if req.get("latents"):
+            raise ValueError(
+                "request carries both 'raw' and 'latents' with seq2seq "
+                "enabled — ambiguous latent source: drop 'latents' to "
+                "roll them out from raw, or send {'seq2seq': false} to "
+                "use the provided latents with raw-derived conditioning")
         latents = _latents_from_raw(args, req, raw)
     elif req.get("latents"):
         latents = latents_from_torch_layout(load_array(req["latents"]))
@@ -481,6 +490,30 @@ def handle(pipe, args, req):
 
 _KNOBS = ("num_inference_steps", "guidance_scale", "height", "width",
           "video_length", "sampler", "gif_encoder")
+
+# Knobs that change the COMPILED graph (shape or structure): a request
+# overriding one triggers a full XLA compile — minutes behind the TPU
+# tunnel — stalling the shared queue loop for every other client.
+# guidance_scale is a traced scalar and gif_encoder is host-side, so
+# neither recompiles; they stay per-request.
+_COMPILE_KNOBS = ("num_inference_steps", "height", "width",
+                  "video_length", "sampler")
+
+
+def _check_request_knobs(args, req):
+    """Reject per-request compile-shape overrides unless the operator
+    opted in with --allow_request_knobs (a recompile is a denial of
+    service any client could trigger otherwise).  Sending a knob whose
+    value EQUALS the server's is always fine — no new graph."""
+    if getattr(args, "allow_request_knobs", False):
+        return
+    bad = [k for k in _COMPILE_KNOBS
+           if k in req and req[k] != getattr(args, k)]
+    if bad:
+        raise ValueError(
+            f"request overrides compile-shape knobs {bad} but the server "
+            "was started without --allow_request_knobs (each new value "
+            "compiles a new graph, stalling every other client)")
 
 _NOISE_FN = {}
 
@@ -808,6 +841,30 @@ def _serve_queue(pipe, args, q, _EOF, stats):
         _process_group(pipe, args, group, emit)
 
 
+def _enqueue(q, line, client, args, stats):
+    """Reader-side admission control: past --max_queue pending lines, work
+    requests get an IMMEDIATE queue_full error reply instead of growing the
+    queue without bound (an unbounded queue under overload means unbounded
+    memory and minutes-stale replies).  cmd lines (shutdown/ping/stats) are
+    always admitted — they are cheap and an operator must never be locked
+    out of shutdown by the very overload they are trying to stop."""
+    if args.max_queue and q.qsize() >= args.max_queue:
+        try:
+            req = json.loads(line)
+        except ValueError:
+            req = None
+        if not (isinstance(req, dict) and req.get("cmd")):
+            resp = {"ok": False,
+                    "error": f"queue_full: {args.max_queue} requests "
+                             "already pending"}
+            if isinstance(req, dict) and "id" in req:
+                resp["id"] = req["id"]
+            stats.reply(resp)
+            client.send(resp)
+            return
+    q.put((line, client))
+
+
 def _serve_coalesced(pipe, args, stats):
     """stdin --coalesce mode: one reader thread feeds the shared queue."""
     import queue as queue_mod
@@ -819,7 +876,7 @@ def _serve_coalesced(pipe, args, stats):
 
     def reader():
         for line in sys.stdin:
-            q.put((line, client))
+            _enqueue(q, line, client, args, stats)
         q.put((_EOF, client))
 
     threading.Thread(target=reader, daemon=True).start()
@@ -858,7 +915,7 @@ def _serve_socket(pipe, args, stats):
                 rfile = conn.makefile("r", encoding="utf-8",
                                       errors="replace")
                 for line in rfile:
-                    q.put((line, client))
+                    _enqueue(q, line, client, args, stats)
                     if stop.is_set():
                         break
         except OSError:
@@ -870,18 +927,30 @@ def _serve_socket(pipe, args, stats):
         while not stop.is_set():
             try:
                 conn, addr = srv.accept()
-            except OSError:  # listener closed on shutdown
+            except OSError:  # listener shut down
                 return
             log.info("client %s connected", addr)
             threading.Thread(target=reader, args=(conn, addr),
                              daemon=True).start()
 
-    threading.Thread(target=acceptor, daemon=True).start()
+    acceptor_t = threading.Thread(target=acceptor, name="serve-acceptor",
+                                  daemon=True)
+    acceptor_t.start()
     try:
         return _serve_queue(pipe, args, q, _EOF, stats)
     finally:
         stop.set()
+        # close() alone does NOT wake a thread blocked in accept() on
+        # Linux — shutdown(SHUT_RDWR) does (accept returns EINVAL), so the
+        # acceptor exits instead of wedging forever holding a dead fd
+        try:
+            srv.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         srv.close()
+        acceptor_t.join(timeout=5.0)
+        if acceptor_t.is_alive():  # pragma: no cover - defensive
+            log.warning("acceptor thread did not exit within 5 s")
 
 
 class _Stats:
@@ -950,6 +1019,19 @@ def main(argv=None):
                         "shape compiles its own graph, so 1 keeps a single "
                         "warm graph for any request size (with --coalesce, "
                         "partial batches are padded so this stays true)")
+    p.add_argument("--max_queue", type=int, default=256,
+                   help="backpressure: past this many pending request "
+                        "lines, new work requests get an immediate "
+                        "queue_full error reply instead of growing the "
+                        "queue without bound (0 = unbounded; cmd lines "
+                        "like shutdown/ping/stats are always admitted)")
+    p.add_argument("--allow_request_knobs", action="store_true",
+                   help="let requests override compile-shape knobs "
+                        "(num_inference_steps/height/width/video_length/"
+                        "sampler); OFF by default because every new value "
+                        "compiles a new graph — minutes behind the TPU "
+                        "tunnel — stalling all clients (requests sending "
+                        "the server's own values are always accepted)")
     p.add_argument("--coalesce_wait", type=float, default=0.0,
                    help="with --coalesce: seconds to wait for additional "
                         "requests to fill one --max_batch dispatch before "

@@ -101,7 +101,8 @@ def test_serve_coalesce_batches_and_isolates(monkeypatch, tiny_pipe,
         {"id": "c", "embeddings": str(emb_path), "indices": [2],
          "num_inference_steps": 1},  # knob mismatch: must not join a+b
         {"cmd": "shutdown"},
-    ], extra_args=("--coalesce", "--max_batch", "2", "--coalesce_wait", "2"))
+    ], extra_args=("--coalesce", "--max_batch", "2", "--coalesce_wait", "2",
+                   "--allow_request_knobs"))
     assert rc == 0
     ready, ra, rb, rc_, bye = lines
     assert ready["ready"] and bye["bye"]
@@ -553,7 +554,7 @@ def test_serve_request_overrides(monkeypatch, tiny_pipe, tmp_path, rng):
     rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
         {"id": "r", "embeddings": str(emb_path), "out_dir": str(out_dir),
          "num_inference_steps": 1, "seed": 7},
-    ])
+    ], extra_args=("--allow_request_knobs",))
     assert rc == 0
     resp = lines[-1]
     assert resp["ok"] and resp["gifs"][0].startswith(str(out_dir))
@@ -770,3 +771,129 @@ def test_serve_raw_only_full_product(monkeypatch, tiny_pipe, tmp_path, rng):
             open(tmp_path / "wo_chained" / "0.gif", "rb") as b:
         assert a.read() == b.read(), "woSeq2Seq ablation diverged"
     assert not r_none["ok"] and "embeddings" in r_none["error"]
+
+
+def test_serve_rejects_compile_knob_overrides_by_default(monkeypatch,
+                                                         tiny_pipe, tmp_path,
+                                                         rng):
+    """Without --allow_request_knobs, a request overriding a compile-shape
+    knob (here num_inference_steps) error-replies instead of compiling a
+    new graph (a recompile takes minutes behind the TPU tunnel and stalls
+    every other client); sending the server's OWN value is accepted (no new
+    graph), traced knobs like guidance_scale stay per-request, and the
+    server keeps serving afterwards."""
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((1, 77 * 768)).astype(np.float32))
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "steal", "embeddings": str(emb_path),
+         "num_inference_steps": 50},
+        {"id": "same", "embeddings": str(emb_path),
+         "num_inference_steps": 2,  # == the server's configured value
+         "out_dir": str(tmp_path / "same")},
+        {"id": "traced", "embeddings": str(emb_path), "guidance_scale": 3.0,
+         "out_dir": str(tmp_path / "traced")},
+        {"cmd": "shutdown"},
+    ])
+    assert rc == 0
+    steal, same, traced = lines[1:4]
+    assert steal["id"] == "steal" and not steal["ok"]
+    assert "allow_request_knobs" in steal["error"]
+    assert "num_inference_steps" in steal["error"]
+    assert same["ok"] and same["clips"] == 1
+    assert traced["ok"] and traced["clips"] == 1
+
+
+def test_serve_raw_plus_latents_is_ambiguous(monkeypatch, tiny_pipe,
+                                             tmp_path, rng):
+    """A request carrying BOTH 'raw' and 'latents' while seq2seq is enabled
+    has two competing latent sources: it error-replies (previously raw won
+    silently and caller-provided DANA latents were ignored — ADVICE round
+    4); with {'seq2seq': false} the combination is meaningful (raw drives
+    conditioning, file drives latents) and is served."""
+    from eeg2video_tpu.models.seq2seq import Seq2SeqTransformer
+    from eeg2video_tpu.train import checkpoint as ckpt
+    from eeg2video_tpu.train.seq2seq import (rollout_latents,
+                                             windows_from_segments)
+
+    s2s = Seq2SeqTransformer(n_frames=2, latent_shape=(4, 4, 4))
+    s2s_vars = s2s.init(jax.random.key(5),
+                        np.zeros((1, 7, 62, 100), np.float32))
+    ckpt.save_checkpoint(str(tmp_path / "s2s"), 0, s2s_vars)
+    seg = rng.standard_normal((2, 62, 400)).astype(np.float32)
+    raw_path = tmp_path / "raw.npy"
+    np.save(raw_path, seg)
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, rng.standard_normal((2, 77 * 768)).astype(np.float32))
+    lat = rollout_latents(s2s_vars, windows_from_segments(seg), model=s2s)
+    lat_path = tmp_path / "lat.npy"
+    np.save(lat_path, lat)
+
+    rc, lines = _run_serve(monkeypatch, tiny_pipe, tmp_path, [
+        {"id": "ambig", "embeddings": str(emb_path), "raw": str(raw_path),
+         "latents": str(lat_path)},
+        {"id": "explicit", "embeddings": str(emb_path), "raw": str(raw_path),
+         "latents": str(lat_path), "seq2seq": False, "indices": [0],
+         "out_dir": str(tmp_path / "explicit")},
+        {"cmd": "shutdown"},
+    ], extra_args=("--seq2seq_ckpt", str(tmp_path / "s2s"),
+                   "--seq2seq_frames", "2", "--seq2seq_latent", "4,4,4"))
+    assert rc == 0
+    ambig, explicit = lines[1:3]
+    assert not ambig["ok"] and "ambiguous" in ambig["error"]
+    assert explicit["ok"] and explicit["clips"] == 1
+
+
+def test_serve_enqueue_backpressure():
+    """_enqueue (the reader-side admission shared by the stdin --coalesce
+    and --listen readers): past --max_queue pending lines, work requests
+    get an immediate queue_full error reply (with the request id echoed)
+    and are NOT enqueued; cmd lines (shutdown) are always admitted so an
+    operator is never locked out by the overload itself."""
+    import queue
+    from types import SimpleNamespace
+
+    from eeg2video_tpu.cli import serve
+
+    sent = []
+    client = SimpleNamespace(send=sent.append, alive=True)
+    stats = serve._Stats()
+    args = SimpleNamespace(max_queue=2)
+    q = queue.Queue()
+    for line in ('{"id": "a"}', '{"id": "b"}'):
+        serve._enqueue(q, line, client, args, stats)
+    assert q.qsize() == 2 and not sent
+
+    serve._enqueue(q, '{"id": "c", "embeddings": "x.npy"}', client, args,
+                   stats)
+    assert q.qsize() == 2  # rejected, not enqueued
+    assert len(sent) == 1 and not sent[0]["ok"]
+    assert "queue_full" in sent[0]["error"] and sent[0]["id"] == "c"
+    assert stats.snapshot()["errors"] == 1
+
+    serve._enqueue(q, '{"cmd": "shutdown"}', client, args, stats)
+    assert q.qsize() == 3  # cmds bypass backpressure
+    assert len(sent) == 1
+
+    args0 = SimpleNamespace(max_queue=0)  # 0 = unbounded
+    serve._enqueue(q, '{"id": "d"}', client, args0, stats)
+    assert q.qsize() == 4 and len(sent) == 1
+
+
+def test_serve_socket_acceptor_thread_exits(monkeypatch, tiny_pipe, tmp_path,
+                                            rng):
+    """Shutdown wakes the acceptor out of accept() (shutdown(SHUT_RDWR)
+    before close — close() alone does NOT wake a blocked accept() on
+    Linux) so no wedged listener thread outlives the server (round-4 crash
+    dumps showed acceptors from long-finished tests still blocked)."""
+    import threading
+
+    port, t, rc_box = _start_socket_server(monkeypatch, tiny_pipe, tmp_path)
+    c = _Client(port)
+    c.send({"cmd": "shutdown"})
+    assert c.recv()["bye"]
+    t.join(timeout=30)
+    assert not t.is_alive() and rc_box == [0]
+    c.close()
+    leaked = [th for th in threading.enumerate()
+              if th.name == "serve-acceptor" and th.is_alive()]
+    assert not leaked, f"acceptor threads leaked: {leaked}"
