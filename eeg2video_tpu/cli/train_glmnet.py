@@ -66,6 +66,15 @@ def main(argv=None):
     # compilation (utils/cache.py for rationale + measurements)
     enable_persistent_cache()
     import jax
+
+    # multi-host bootstrap (no-op unless JAX_COORDINATOR_ADDRESS / pod
+    # metadata is set): the TPU-native replacement for the reference's
+    # `accelerate launch` spawn — after this, jax.devices() spans every
+    # process and the dp mesh below crosses hosts (SURVEY.md section 5.8)
+    from ..parallel.distributed import init_distributed
+
+    init_distributed()
+
     import jax.numpy as jnp
     import optax
 
@@ -84,12 +93,18 @@ def main(argv=None):
                    default="cosine")
     p.add_argument("--emb_dim", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard each batch over the first N devices (a "
+                        "(dp,) mesh; spans processes under "
+                        "jax.distributed — the reference's DDP surface). "
+                        "0 = single-device (default)")
     args = p.parse_args(argv)
 
     raw_sw = load_array(os.path.join(args.raw_dir, f"sub{args.sub}.npy"))
     de_sw = load_array(os.path.join(args.de_dir, f"sub{args.sub}.npy"))
     data, stats = prepare_glmnet_data(raw_sw, de_sw, list(range(6)), 6)
-    np.savez(_ensure(args.save_path, "norm_stats.npz"), **stats)
+    if jax.process_index() == 0:
+        np.savez(_ensure(args.save_path, "norm_stats.npz"), **stats)
 
     model = make_encoder("glmnet", out_dim=40, emb_dim=args.emb_dim)
     key = jax.random.key(args.seed)
@@ -103,6 +118,37 @@ def main(argv=None):
         # bs and fail the epoch-scan reshape at trace time
         log.info("batch_size %d > %d samples; clamping", args.batch_size, n)
         args.batch_size = n
+
+    # dp mesh: every process loads the full (identical) dataset and
+    # device_put replicates it globally; the per-step batch is constrained
+    # to P("dp") so GSPMD shards the forward/backward over devices and
+    # psums the grads — params stay replicated (DDP semantics, matching
+    # the reference's Accelerate spawn it replaces)
+    mesh = None
+    if args.dp > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as JP
+
+        if args.batch_size % args.dp:
+            # dp shards the batch axis: round down to a multiple
+            args.batch_size = max(args.batch_size // args.dp, 1) * args.dp
+            log.info("clamped batch_size to %d (divisible by dp=%d)",
+                     args.batch_size, args.dp)
+        mesh = Mesh(np.array(jax.devices()[: args.dp]), ("dp",))
+        _repl = NamedSharding(mesh, JP())
+        _batch_sh = NamedSharding(mesh, JP("dp"))
+
+        def put(t):
+            # every process holds the SAME full array; build the global
+            # (replicated) Array from the process-local copy — device_put
+            # rejects non-addressable shardings in multi-controller mode
+            return jax.make_array_from_process_local_data(
+                _repl, np.asarray(t))
+
+        def shard_batch(t):
+            return jax.lax.with_sharding_constraint(t, _batch_sh)
+    else:
+        put = jnp.asarray
+        shard_batch = lambda t: t
     steps_per_epoch = max(n // args.batch_size, 1)
     if args.scheduler == "reducelronplateau":
         # the LR must be adjustable from the host between epochs WITHOUT
@@ -114,6 +160,11 @@ def main(argv=None):
         sched = make_lr_schedule(args.scheduler, args.lr, args.min_lr,
                                  args.epochs * steps_per_epoch)
         tx = optax.adamw(sched)
+    # under a dp mesh the train state must be GLOBAL (replicated) arrays —
+    # in multi-process mode locally-committed arrays cannot feed a jit
+    # whose mesh spans other processes
+    params = jax.tree.map(put, params)
+    bstats = jax.tree.map(put, bstats)
     opt_state = tx.init(params)
 
     import functools
@@ -124,8 +175,15 @@ def main(argv=None):
     # repo convention: whole shuffled epochs scan on device (donated state,
     # dataset resident as jitted ARGUMENTS — per-batch host slicing +
     # dispatch costs ~3.5 ms tunnel RTT each; see train/eegvp.py)
+    seed = args.seed
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_epoch(params, bstats, opt_state, perm, k, xr_all, xf_all, y_all):
+    def train_epoch(params, bstats, opt_state, perm, epoch, xr_all, xf_all,
+                    y_all):
+        # the epoch key is derived IN-GRAPH from the integer epoch: typed
+        # PRNG key arrays cannot cross make_array_from_process_local_data,
+        # and fold_in here computes the identical key
+        k = jax.random.fold_in(jax.random.key(seed), epoch)
         sel = perm[: n_batches * bs]
         xrb = xr_all[sel].reshape(n_batches, bs, *xr_all.shape[1:])
         xfb = xf_all[sel].reshape(n_batches, bs, *xf_all.shape[1:])
@@ -134,6 +192,9 @@ def main(argv=None):
         def step(carry, batch):
             params, bstats, opt_state, k = carry
             xr_, xf_, y_ = batch
+            # dp: shard THIS batch over the mesh (grads psum; params stay
+            # replicated — DDP semantics); no-op single-device
+            xr_, xf_, y_ = shard_batch(xr_), shard_batch(xf_), shard_batch(y_)
             k, sub = jax.random.split(k)
 
             def loss_fn(p):
@@ -152,15 +213,18 @@ def main(argv=None):
             step, (params, bstats, opt_state, k), (xrb, xfb, yb))
         return params, bstats, opt_state, losses.sum()
 
-    xr_all = jnp.asarray(xr)
-    xf_all = jnp.asarray(xf)
-    y_all = jnp.asarray(y.astype(np.int32))
+    xr_all = put(xr)
+    xf_all = put(xf)
+    y_all = put(y.astype(np.int32))
+    from ..utils.metrics_logger import MetricsLogger
+
+    metrics = MetricsLogger(args.save_path, run_name="glmnet")
     rng = np.random.default_rng(args.seed)
     plateau_best, plateau_wait, lr_scale = np.inf, 0, 1.0
     for epoch in range(args.epochs):
         params, bstats, opt_state, ep = train_epoch(
-            params, bstats, opt_state, jnp.asarray(rng.permutation(n)),
-            jax.random.fold_in(key, epoch), xr_all, xf_all, y_all)
+            params, bstats, opt_state, put(rng.permutation(n)),
+            put(np.int32(epoch)), xr_all, xf_all, y_all)
         ep = float(ep)
         if args.scheduler == "reducelronplateau":
             if ep < plateau_best - 1e-4:
@@ -171,19 +235,28 @@ def main(argv=None):
                     lr_scale = max(lr_scale * 0.1, args.min_lr / args.lr)
                     # torch ReduceLROnPlateau keeps optimizer moments; only
                     # the injected learning_rate changes
-                    opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                        args.lr * lr_scale, jnp.float32)
+                    opt_state.hyperparams["learning_rate"] = put(
+                        np.float32(args.lr * lr_scale))
                     plateau_wait = 0
                     log.info("plateau: lr -> %.2e", args.lr * lr_scale)
+        metrics.log(epoch, train_loss=ep)
         if (epoch + 1) % 10 == 0:
             log.info("epoch %d loss %.4f", epoch + 1, ep)
 
-    ckpt.save_checkpoint(os.path.join(args.save_path, "ckpt"), args.epochs,
-                         {"params": params, "batch_stats": bstats})
-    # held-out accuracy
+    metrics.close()
+    # params are replicated, so every process holds an addressable copy:
+    # pull to host numpy, then EVERY process calls save — orbax coordinates
+    # multi-controller saves internally (single writer + sync barriers);
+    # gating the call to host 0 deadlocks host 0 in that barrier while the
+    # others exit (observed in the 2-process CLI test)
+    host_state = jax.tree.map(np.asarray,
+                              {"params": params, "batch_stats": bstats})
+    ckpt.save_checkpoint(os.path.join(args.save_path, "ckpt"),
+                         args.epochs, host_state)
+    # held-out accuracy (host copies: eval is single-device everywhere)
     xr_t, xf_t, y_t = data["test"]
-    logits = model.apply({"params": params, "batch_stats": bstats},
-                         jnp.asarray(xr_t), jnp.asarray(xf_t), train=False)
+    logits = model.apply(host_state, jnp.asarray(xr_t), jnp.asarray(xf_t),
+                         train=False)
     acc = float((np.asarray(logits).argmax(-1) == y_t).mean())
     log.info("block-6 top-1: %.3f; saved to %s", acc, args.save_path)
 

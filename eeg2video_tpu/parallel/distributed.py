@@ -21,15 +21,33 @@ def init_distributed(coordinator_address: Optional[str] = None,
     """Initialize jax.distributed when running multi-process; returns True
     if distributed mode is active.  Arguments default to the standard env
     variables (JAX_COORDINATOR_ADDRESS etc. / TPU pod metadata)."""
+    if jax.distributed.is_initialized():
+        # idempotent entry: a launcher (or an earlier CLI in-process)
+        # already bootstrapped — keep the existing runtime
+        return jax.process_count() > 1
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     in_pod = os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
     if not explicit and not in_pod:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    # jax only auto-detects num/id on recognized clusters (TPU pod, SLURM,
+    # k8s); for a generic spawn (our multi-process tests, bare-metal CPU
+    # hosts) honor explicit env vars alongside JAX_COORDINATOR_ADDRESS
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # idempotent entry: a driver may have initialized before the CLI
+        # main did ("distributed.initialize should only be called once") —
+        # anything else is a real bootstrap failure
+        if "only be called once" not in str(e):
+            raise
     return jax.process_count() > 1
 
 
