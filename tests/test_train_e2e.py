@@ -6,7 +6,13 @@ proof that the train -> sample loop LEARNS, not just runs.
 
 Targets are VAE-roundtripped (decode(encode(x))) since the VAE is random-init
 here; the gate tests the diffusion training/sampling loop, not the VAE.
+
+Round 5 adds the retrieval-gate proxy (VERDICT round-4 next #8): the same
+trained model's clips chain through the FULL cli.run_metrics loop (GT_label
+index mapping, SSIM/MSE/PSNR/hue, injected tiny ViT classifier n-way).
 """
+
+import os
 
 import numpy as np
 import pytest
@@ -38,11 +44,14 @@ def _clips():
     return np.stack([ramp, checker])  # (2, F, H, W, 3)
 
 
-def test_overfit_then_generate_aligns():
-    # a LOCAL generator, not the shared session fixture: the session rng's
-    # state at this test depends on which tests ran before it, so the
-    # overfit margin silently varied with suite composition (observed as a
-    # suite-only flake when unrelated tests were added)
+@pytest.fixture(scope="module")
+def overfit():
+    """Train once per module; both gates below consume the same model.
+
+    Uses a LOCAL generator, not the shared session fixture: the session
+    rng's state here depends on which tests ran before it, so the overfit
+    margin silently varied with suite composition (observed as a
+    suite-only flake when unrelated tests were added)."""
     rng = np.random.default_rng(1234)
     ucfg = UNet3DConfig(block_out_channels=(32, 64, 64, 64),
                         attention_heads=4, cross_attention_dim=768,
@@ -73,7 +82,6 @@ def test_overfit_then_generate_aligns():
         state, loss = epoch_fn(state, vae_params, jnp.asarray(pixels),
                                jnp.asarray(ctx), perm, jax.random.key(7 + r))
         losses.append(float(loss))
-    assert losses[-1] < losses[0], f"training did not reduce loss: {losses}"
 
     # the achievable target: the VAE roundtrip of each training clip
     frames = jnp.asarray(pixels.reshape(2 * F, HH, WW, 3))
@@ -88,14 +96,24 @@ def test_overfit_then_generate_aligns():
                            key=jax.random.key(42), video_length=F,
                            height=HH, width=WW, num_inference_steps=50,
                            guidance_scale=1.0))
+    return {"pipe": pipe, "rt": rt, "ctx": ctx, "vids": vids,
+            "losses": losses}
 
-    def score(a, b):
-        s = [ssim(a[f], b[f], data_range=1.0) for f in range(F)]
-        return float(np.mean(s))
+
+def _score(a, b):
+    s = [ssim(a[f], b[f], data_range=1.0) for f in range(F)]
+    return float(np.mean(s))
+
+
+def test_overfit_then_generate_aligns(overfit):
+    losses, rt, vids, pipe = (overfit["losses"], overfit["rt"],
+                              overfit["vids"], overfit["pipe"])
+    ctx = overfit["ctx"]
+    assert losses[-1] < losses[0], f"training did not reduce loss: {losses}"
 
     for i in range(2):
         j = 1 - i
-        own_ssim, other_ssim = score(vids[i], rt[i]), score(vids[i], rt[j])
+        own_ssim, other_ssim = _score(vids[i], rt[i]), _score(vids[i], rt[j])
         own_mse = float(np.mean((vids[i] - rt[i]) ** 2))
         other_mse = float(np.mean((vids[i] - rt[j]) ** 2))
         assert own_ssim > other_ssim, (i, own_ssim, other_ssim)
@@ -118,12 +136,87 @@ def test_overfit_then_generate_aligns():
     own_ddim, own_dpm = [], []
     for i in range(2):
         j = 1 - i
-        own, other = score(vids_dpm[i], rt[i]), score(vids_dpm[i], rt[j])
+        own, other = _score(vids_dpm[i], rt[i]), _score(vids_dpm[i], rt[j])
         assert own > other, ("dpm++", i, own, other)
         own_mse = float(np.mean((vids_dpm[i] - rt[i]) ** 2))
         other_mse = float(np.mean((vids_dpm[i] - rt[j]) ** 2))
         assert own_mse < other_mse, ("dpm++", i, own_mse, other_mse)
         own_dpm.append(own)
-        own_ddim.append(score(vids[i], rt[i]))
+        own_ddim.append(_score(vids[i], rt[i]))
     assert np.mean(own_dpm) > np.mean(own_ddim) - 0.1, (
         "dpm++-20 quality fell out of the DDIM-50 tier", own_dpm, own_ddim)
+
+
+def test_overfit_chain_through_run_metrics(overfit, tmp_path, monkeypatch):
+    """Retrieval-gate proxy (VERDICT round-4 next #8): the overfit model's
+    generated clips run through the FULL cli.run_metrics loop — GIF IO,
+    the block-6 GT_label index mapping (reference
+    40_class_run_metrics.py:352-361), SSIM/MSE/PSNR/hue, and the n-way
+    classifier path with an injected tiny ViT.  Gates: the correctly
+    GT-mapped layout scores a higher SSIM than a swapped-GT layout (the
+    mapping has power), and 2-way classifier accuracy beats chance."""
+    import functools
+    import json
+
+    torch = pytest.importorskip("torch")
+    from transformers import (ViTConfig, ViTForImageClassification,
+                              ViTImageProcessor)
+
+    import eeg2video_tpu.eval.metrics as eval_metrics
+    from eeg2video_tpu.cli import run_metrics
+    from eeg2video_tpu.data import meta
+    from eeg2video_tpu.data.video import save_videos_grid
+
+    vids, rt = overfit["vids"], overfit["rt"]
+    pred_dir = tmp_path / "pred"
+    os.makedirs(pred_dir)
+    for i in range(2):
+        save_videos_grid(vids[i:i + 1], str(pred_dir / f"{i}.gif"))
+
+    # prediction i (class order) pairs with the GT clip at the block-6
+    # presentation position of class i — place the GT files there
+    idx = meta.block_reorder_indices(6)
+    gt_order = (idx[:, None] * meta.N_REPS + np.arange(meta.N_REPS)).reshape(-1)
+
+    def write_gt(d, clips):
+        os.makedirs(d)
+        for i, c in enumerate(clips):
+            save_videos_grid(c[None], os.path.join(str(d),
+                                                   f"{int(gt_order[i])}.gif"))
+
+    write_gt(tmp_path / "gt", [rt[0], rt[1]])
+    write_gt(tmp_path / "gt_swapped", [rt[1], rt[0]])
+
+    # tiny seeded ViT injected through the REAL classifier_metrics loop
+    cfg = ViTConfig(hidden_size=32, num_hidden_layers=1,
+                    num_attention_heads=2, intermediate_size=64,
+                    image_size=224, num_labels=10)
+    torch.manual_seed(0)
+    model = ViTForImageClassification(cfg)
+    processor = ViTImageProcessor(size={"height": 224, "width": 224})
+    monkeypatch.setattr(
+        eval_metrics, "classifier_metrics",
+        functools.partial(eval_metrics.classifier_metrics, model=model,
+                          processor=processor))
+
+    def run(gt_dir, out_name, classifier=False):
+        out = tmp_path / out_name
+        run_metrics.main([
+            "--pred_dir", str(pred_dir), "--gt_dir", str(gt_dir),
+            "--n_clips", "2", "--out", str(out),
+            *(["--classifier", "--n_way", "2", "--num_trials", "50"]
+              if classifier else [])])
+        return json.loads(out.read_text())
+
+    res = run(tmp_path / "gt", "metrics.json", classifier=True)
+    swapped = run(tmp_path / "gt_swapped", "metrics_swapped.json")
+
+    for k in ("ssim", "mse", "psnr", "hue"):
+        assert np.isfinite(res[k]), (k, res)
+    # the GT_label mapping end to end: pairing each prediction with its
+    # OWN target must beat the swapped pairing
+    assert res["ssim"] > swapped["ssim"], (res["ssim"], swapped["ssim"])
+    assert res["mse"] < swapped["mse"], (res["mse"], swapped["mse"])
+    # n-way retrieval proxy: 2-way accuracy beats chance (0.5)
+    assert res["img_2way"] > 0.5, res
+    assert 0.0 <= res["video_2way"] <= 1.0, res
