@@ -190,9 +190,8 @@ def main(argv=None):
     n_dev = len(jax.devices())
     tp = max(args.tp, 1)
     sp = max(args.sp, 1)
-    if sp > 1 and tp > 1:
-        p.error("--sp and --tp cannot combine: ring attention's shard_map "
-                "keeps the head axis whole (see EEG2VideoPipeline.shard)")
+    # --sp and --tp compose (round 5): the ring shard_map also splits the
+    # head dimension over "tp" (EEG2VideoPipeline.shard / ops.ring)
     dp = args.dp if args.dp > 0 else max(n_dev // (tp * sp), 1)
     if args.train_batch_size % dp != 0:
         # dp shards the batch; an indivisible split would leave GSPMD

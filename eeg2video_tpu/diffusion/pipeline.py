@@ -150,16 +150,13 @@ class EEG2VideoPipeline:
         ops.ring): the KV shards rotate over the sp axis so attention memory
         and FLOPs scale with the ring — the reference's one-GPU answer is
         xformers + slicing (attention.py:305-316), which only trades memory
-        for serialized time.  sp composes with dp; combining sp with
-        head-sharding tp_rules on the same attention is not supported (the
-        ring's shard_map replicates the head axis).  Returns self."""
+        for serialized time.  sp composes with dp, and (round 5) with
+        head-sharding tp_rules on the same (dp, sp, tp) mesh: the ring's
+        shard_map also splits the head dimension over "tp" (attention is
+        per-head independent, so the composition is exact; requires
+        heads % tp == 0).  Returns self."""
         from ..parallel import shard_params
 
-        if (mesh.shape.get("sp", 1) > 1 and tp_rules is not None
-                and "tp" in mesh.shape and mesh.shape["tp"] > 1):
-            raise ValueError(
-                "sp (ring attention) and tp attention sharding cannot "
-                "combine on one mesh: the ring shard_map keeps heads whole")
         self.unet_params = shard_params(self.unet_params, mesh, tp_rules)
         self.vae_params = shard_params(self.vae_params, mesh, None)
         self.mesh = mesh

@@ -80,11 +80,13 @@ def _sp_size() -> int:
 def _sp_attention(q, k, v, heads, bias=None):
     """Dispatch one (N, Lq, H*D) x (N, Lkv, H*D) attention: ring/repkv over
     the sp mesh axis when an sp scope is active and the query tokens divide,
-    the fused single-device path otherwise.  Biased attention always takes
-    the single-device path (the (N, 1, Lkv) bias would need KV-aligned
-    resharding; masked attention is off every reference path)."""
+    the fused single-device path otherwise.  Round 5: a (N, 1, Lkv) bias
+    rides the ring (KV-aligned shard rotating with its block), and a "tp"
+    mesh axis composes with the ring by sharding the head dimension inside
+    the shard_map (heads % tp == 0; per-head independence makes the
+    composition exact)."""
     sp = _sp_size()
-    if sp > 1 and bias is None and q.shape[1] % sp == 0:
+    if sp > 1 and q.shape[1] % sp == 0:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..ops.ring import ring_attention_packed
@@ -92,6 +94,8 @@ def _sp_attention(q, k, v, heads, bias=None):
         mesh = _SP["mesh"]
         dp = mesh.shape.get("dp", 1)
         batch_axis = "dp" if dp > 1 and q.shape[0] % dp == 0 else None
+        tp = mesh.shape.get("tp", 1)
+        head_axis = "tp" if tp > 1 and heads % tp == 0 else None
         # Sharding contract: ONLY the attention internals shard over sp —
         # the surrounding activations (convs, GN, resnets) stay replicated
         # on the sp axis (dp shards the batch).  The explicit constraints on
@@ -101,12 +105,16 @@ def _sp_attention(q, k, v, heads, bias=None):
         # an axis they should not split and MISCOMPILES on the CPU backend
         # (full-UNet jit diverged 0.13 at 2x2 spatial; each attention module
         # in isolation was exact — see tests/test_sp_product.py).
-        repl = NamedSharding(mesh, P(batch_axis, None, None))
+        repl = NamedSharding(mesh, P(batch_axis, None, head_axis))
         q, k, v = (jax.lax.with_sharding_constraint(x, repl)
                    for x in (q, k, v))
+        if bias is not None:
+            bias = jax.lax.with_sharding_constraint(
+                bias, NamedSharding(mesh, P(batch_axis, None, None)))
         out = ring_attention_packed(q, k, v, heads, mesh,
                                     axis_name=_SP["axis"],
-                                    batch_axis=batch_axis)
+                                    batch_axis=batch_axis,
+                                    head_axis=head_axis, bias=bias)
         return jax.lax.with_sharding_constraint(out, repl)
     return fused_attention_packed(q, k, v, heads, bias=bias)
 
@@ -178,16 +186,19 @@ class SparseCausalAttention(nn.Module):
             return jnp.repeat(bias_, n, axis=0) if bias_ is not None else None
 
         sp = _sp_size()
-        if f >= 2 and sp > 1 and bias is None and l % sp == 0:
+        if f >= 2 and sp > 1 and l % sp == 0:
             # sp (ring) routing, fwd AND bwd exact: the spatial-token axes
             # stay global so shard_map splits them over the ring — each
             # device holds 1/sp of the [K0 | K_prev] concat, so attention
             # memory and FLOPs both scale with the ring size (the ceiling
             # the reference hits with xformers + slicing,
-            # attention.py:305-316).
+            # attention.py:305-316).  A mask bias rides the ring too
+            # (round 5): frame-0 keys masked, previous-frame half unmasked
+            # (the F.pad-by-Lq quirk), its KV-aligned shards rotating with
+            # their blocks.
             q01 = qf[:, :2].reshape(b, 2 * l, inner)
-            out01 = _sp_attention(q01, kf[:, 0], vf[:, 0],
-                                  self.heads).reshape(b, 2, l, inner)
+            out01 = _sp_attention(q01, kf[:, 0], vf[:, 0], self.heads,
+                                  bias=bias).reshape(b, 2, l, inner)
             m = f - 2
             if m == 0:
                 out = out01
@@ -199,7 +210,11 @@ class SparseCausalAttention(nn.Module):
                                      axis=2).reshape(b * m, 2 * l, inner)
                 vg = jnp.concatenate([v0r, vf[:, 1:-1]],
                                      axis=2).reshape(b * m, 2 * l, inner)
-                outr = _sp_attention(qr, kg, vg, self.heads)
+                bias2 = (jnp.concatenate([bias, jnp.zeros_like(bias)],
+                                         axis=-1)
+                         if bias is not None else None)
+                outr = _sp_attention(qr, kg, vg, self.heads,
+                                     bias=rep(bias2, m))
                 out = jnp.concatenate(
                     [out01, outr.reshape(b, m, l, inner)], axis=1)
             return nn.Dense(c, dtype=self.dtype, name="to_out")(out)

@@ -69,15 +69,19 @@ def _weighted(out_f32, w, heads):
     return (out_f32.reshape(n, l, heads, d) * w).reshape(n, l, hd)
 
 
-def _ring_fwd(q, k, v, heads, scale, axis_name, sp):
-    """Local shards in, (combined out, global natural-units lse) out."""
+def _ring_fwd(q, k, v, heads, scale, axis_name, sp, bias=None):
+    """Local shards in, (combined out, global natural-units lse) out.
+
+    ``bias``: optional LOCAL (N, 1, Lkv/sp) additive-bias shard — it is
+    KV-aligned, so it rotates around the ring with its K/V block."""
     lq = q.shape[1]
     out = None
     lse = None
-    kb, vb = k, v
+    kb, vb, bb = k, v, bias
     for t in range(sp):
         o_i, l_i = _flash_fwd_packed(q, kb, vb, heads, scale,
-                                     interpret=_interpret(), return_lse=True)
+                                     interpret=_interpret(), return_lse=True,
+                                     bias=bb)
         l_i = l_i[:, :, 0, :lq]  # (N, H, Lq), natural-log units
         o_i = o_i.astype(jnp.float32)
         if out is None:
@@ -91,7 +95,10 @@ def _ring_fwd(q, k, v, heads, scale, axis_name, sp):
                    + _weighted(o_i, b / denom, heads))
             lse = m + jnp.log(denom)
         if t + 1 < sp:  # last hop's KV state is not needed again
-            kb, vb = _shift((kb, vb), axis_name, sp)
+            if bb is None:
+                kb, vb = _shift((kb, vb), axis_name, sp)
+            else:
+                kb, vb, bb = _shift((kb, vb, bb), axis_name, sp)
     return out, lse
 
 
@@ -165,6 +172,81 @@ def _repkv_local_bwd(heads, scale, axis_name, res, g):
 _repkv_attention_local.defvjp(_repkv_local_fwd, _repkv_local_bwd)
 
 
+# --- biased modes (round 5) ---------------------------------------------------
+#
+# The (N, 1, Lkv) additive attention bias (the reference's attention_mask,
+# unet.py:314-317) is KV-ALIGNED: in the ring mode its shard rotates around
+# the ring with the K/V block it masks; in the replicated-KV mode it stays
+# replicated like k/v.  Exact forward AND backward — the packed kernels
+# carry bias through both passes and emit dbias (summed over heads and
+# query rows per shard; cross-shard sums come from the rotation returning
+# accumulators home / shard_map's transpose for replicated operands).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _ring_attention_local_biased(q, k, v, bias, heads, scale, axis_name, sp):
+    out, _ = _ring_fwd(q, k, v, heads, scale, axis_name, sp, bias=bias)
+    return out.astype(q.dtype)
+
+
+def _ring_local_biased_fwd(q, k, v, bias, heads, scale, axis_name, sp):
+    out, lse = _ring_fwd(q, k, v, heads, scale, axis_name, sp, bias=bias)
+    out = out.astype(q.dtype)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _ring_local_biased_bwd(heads, scale, axis_name, sp, res, g):
+    q, k, v, bias, out, lse = res
+    dq = jnp.zeros(q.shape, jnp.float32)
+    kb, vb, bb = k, v, bias
+    dkb = jnp.zeros(k.shape, jnp.float32)
+    dvb = jnp.zeros(v.shape, jnp.float32)
+    dbb = jnp.zeros(bias.shape, jnp.float32)
+    for _ in range(sp):
+        dq_p, dk_p, dv_p, db_p = _flash_bwd_packed(
+            q, kb, vb, g, out, lse, scale, heads, interpret=_interpret(),
+            bias=bb)
+        dq = dq + dq_p.astype(jnp.float32)
+        dkb = dkb + dk_p.astype(jnp.float32)
+        dvb = dvb + dv_p.astype(jnp.float32)
+        dbb = dbb + db_p.astype(jnp.float32)
+        kb, vb, bb, dkb, dvb, dbb = _shift((kb, vb, bb, dkb, dvb, dbb),
+                                           axis_name, sp)
+    return (dq.astype(q.dtype), dkb.astype(k.dtype), dvb.astype(v.dtype),
+            dbb.astype(bias.dtype))
+
+
+_ring_attention_local_biased.defvjp(_ring_local_biased_fwd,
+                                    _ring_local_biased_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _repkv_attention_local_biased(q, k, v, bias, heads, scale, axis_name):
+    out = _flash_fwd_packed(q, k, v, heads, scale, interpret=_interpret(),
+                            bias=bias)
+    return out.astype(q.dtype)
+
+
+def _repkv_local_biased_fwd(q, k, v, bias, heads, scale, axis_name):
+    out, lse = _flash_fwd_packed(q, k, v, heads, scale,
+                                 interpret=_interpret(), return_lse=True,
+                                 bias=bias)
+    out = out.astype(q.dtype)
+    return out, (q, k, v, bias, out, lse[:, :, 0, :q.shape[1]])
+
+
+def _repkv_local_biased_bwd(heads, scale, axis_name, res, g):
+    # dk/dv/dbias are PARTIAL over the ring (each shard differentiates its
+    # own query rows); shard_map's transpose psums the replicated in_specs
+    q, k, v, bias, out, lse = res
+    return _flash_bwd_packed(q, k, v, g, out, lse, scale, heads,
+                             interpret=_interpret(), bias=bias)
+
+
+_repkv_attention_local_biased.defvjp(_repkv_local_biased_fwd,
+                                     _repkv_local_biased_bwd)
+
+
 def ring_attention_inner(q, k, v, heads, scale, axis_name, sp):
     """Shard-level entry point, for callers already inside a ``shard_map``
     over ``axis_name``: q/k/v are the LOCAL (N, L/sp, H*D) shards."""
@@ -173,7 +255,8 @@ def ring_attention_inner(q, k, v, heads, scale, axis_name, sp):
 
 
 def ring_attention_packed(q, k, v, heads, mesh: Mesh, scale=None,
-                          axis_name: str = "sp", batch_axis=None):
+                          axis_name: str = "sp", batch_axis=None,
+                          head_axis=None, bias=None):
     """Context-parallel attention over GLOBAL channels-minor operands.
 
     q/k/v: (N, L, H*D) with Lq divisible by ``mesh.shape[axis_name]``; the
@@ -184,7 +267,19 @@ def ring_attention_packed(q, k, v, heads, mesh: Mesh, scale=None,
     k/v stay replicated and only the query side shards (FLOPs scale, dk/dv
     psum over the ring).  Exact either way — matches
     ``fused_attention_packed`` to kernel tolerance at any ring size,
-    including sp=1 (plain flash, zero hops)."""
+    including sp=1 (plain flash, zero hops).
+
+    ``head_axis`` (round 5): additionally shard the HEAD dimension of the
+    channels axis over that mesh axis (Megatron tp composing with the
+    ring) — attention is per-head independent, so each (sp, tp) shard runs
+    the ring over its own heads//tp heads; requires heads %
+    mesh.shape[head_axis] == 0.
+
+    ``bias`` (round 5): optional (N, 1, Lkv) additive attention bias; its
+    KV-aligned shard rotates with the K/V block in ring mode and stays
+    replicated in repkv mode.  Exact dbias either way (bias is shared
+    across heads, so under ``head_axis`` the per-shard dbias psums over
+    the head shards via shard_map's transpose)."""
     hd = q.shape[-1] // heads
     if scale is None:
         scale = 1.0 / float(np.sqrt(hd))
@@ -192,21 +287,44 @@ def ring_attention_packed(q, k, v, heads, mesh: Mesh, scale=None,
     if q.shape[1] % sp:
         raise ValueError(
             f"query token axis {q.shape[1]} not divisible by {axis_name}={sp}")
-    spec = P(batch_axis, axis_name, None)
-    if k.shape[1] % sp:
-        kv_spec = P(batch_axis, None, None)
+    tp = mesh.shape[head_axis] if head_axis else 1
+    if heads % tp:
+        raise ValueError(f"heads={heads} not divisible by "
+                         f"{head_axis}={tp} for head sharding")
+    heads_l = heads // tp
+    spec = P(batch_axis, axis_name, head_axis)
+    ring_kv = k.shape[1] % sp == 0
+    kv_spec = spec if ring_kv else P(batch_axis, None, head_axis)
+    scale = float(scale)
 
-        def local(ql, kl, vl):
-            # positional call: custom_vjp with nondiff_argnums rejects kwargs
-            return _repkv_attention_local(ql, kl, vl, heads, float(scale),
-                                          axis_name)
+    if bias is None:
+        if ring_kv:
+            def local(ql, kl, vl):
+                # positional calls throughout: custom_vjp with
+                # nondiff_argnums rejects kwargs
+                return _ring_attention_local(ql, kl, vl, heads_l, scale,
+                                             axis_name, int(sp))
+        else:
+            def local(ql, kl, vl):
+                return _repkv_attention_local(ql, kl, vl, heads_l, scale,
+                                              axis_name)
+
+        fn = jax.shard_map(local, mesh=mesh,
+                           in_specs=(spec, kv_spec, kv_spec),
+                           out_specs=spec, check_vma=False)
+        return fn(q, k, v)
+
+    bias_spec = P(batch_axis, None, axis_name if ring_kv else None)
+    if ring_kv:
+        def local(ql, kl, vl, bl):
+            return _ring_attention_local_biased(ql, kl, vl, bl, heads_l,
+                                                scale, axis_name, int(sp))
     else:
-        kv_spec = spec
+        def local(ql, kl, vl, bl):
+            return _repkv_attention_local_biased(ql, kl, vl, bl, heads_l,
+                                                 scale, axis_name)
 
-        def local(ql, kl, vl):
-            return _ring_attention_local(ql, kl, vl, heads, float(scale),
-                                         axis_name, int(sp))
-
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, kv_spec, kv_spec),
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(spec, kv_spec, kv_spec, bias_spec),
                        out_specs=spec, check_vma=False)
-    return fn(q, k, v)
+    return fn(q, k, v, bias)

@@ -113,3 +113,46 @@ def test_unet_attention_mask(rng):
                                     attention_mask=jnp.asarray(hole)))
     assert not np.allclose(masked, base, atol=1e-4)
     assert np.all(np.isfinite(masked))
+
+
+def test_unet_attention_mask_under_sp(rng):
+    """Round 5: masked attention no longer exits the ring path — the
+    (N, 1, Lkv) mask bias rides the ring (KV-aligned shards rotating with
+    their K/V blocks), so the masked UNet forward AND backward under an
+    sp mesh match the single-device masked run."""
+    from jax.sharding import Mesh
+
+    from eeg2video_tpu.models import attention3d
+    from eeg2video_tpu.models.unet3d import UNet3DConditionModel, UNet3DConfig
+
+    cfg = UNet3DConfig.micro()
+    model = UNet3DConditionModel(cfg)
+    x = rng.standard_normal((1, 2, 12, 16, 4)).astype(np.float32)
+    ctx = rng.standard_normal((1, 7, cfg.cross_attention_dim)).astype(np.float32)
+    variables = model.init(jax.random.key(0), x, jnp.asarray([3]), ctx)
+    hole = np.ones((1, 12, 16), np.float32)
+    hole[:, :6, :8] = 0.0
+    hole = jnp.asarray(hole)
+
+    def fwd(v):
+        return model.apply(v, x, jnp.asarray([3]), ctx, attention_mask=hole)
+
+    def loss(v):
+        return jnp.sum(fwd(v) ** 2)
+
+    ref = np.asarray(fwd(variables))
+    g_ref = jax.grad(loss)(variables)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    with attention3d.sp_scope(mesh):
+        out = np.asarray(fwd(variables))
+        g_sp = jax.grad(loss)(variables)
+
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+    flat_sp = {jax.tree_util.keystr(p): l for p, l in
+               jax.tree_util.tree_leaves_with_path(g_sp)}
+    for p, leaf in jax.tree_util.tree_leaves_with_path(g_ref):
+        name = jax.tree_util.keystr(p)
+        np.testing.assert_allclose(np.asarray(flat_sp[name]),
+                                   np.asarray(leaf), rtol=5e-5, atol=5e-5,
+                                   err_msg=name)

@@ -62,17 +62,26 @@ def test_sp_generation_matches_replicated(rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
 
 
-def test_sp_rejects_tp_combination():
-    mesh = make_mesh(dp=1, sp=2, tp=4)
+def test_sp_tp_generation_matches_replicated(rng):
+    """Round 5 (VERDICT round-4 next #7): ring attention composes with
+    Megatron head-sharding tp on one (dp, sp, tp) mesh — the ring
+    shard_map also splits the head dimension over "tp" (per-head
+    independence makes it exact), closing the former sp x tp exclusion."""
     from eeg2video_tpu.train import unet_tp_rules
 
-    pipe = _tiny_pipeline()
-    try:
-        pipe.shard(mesh, unet_tp_rules)
-    except ValueError as e:
-        assert "sp" in str(e) and "tp" in str(e)
-    else:
-        raise AssertionError("expected ValueError for sp x tp attention sharding")
+    b = 2
+    emb = rng.standard_normal((b, 77 * 768)).astype(np.float32)
+    neg = rng.standard_normal((77 * 768,)).astype(np.float32)
+    lat = rng.standard_normal((b, F, 4, 4, 4)).astype(np.float32)
+    kwargs = dict(latents=lat, video_length=F, height=32, width=32,
+                  num_inference_steps=3, guidance_scale=7.5)
+
+    ref = np.asarray(_tiny_pipeline()(emb, neg, **kwargs))
+
+    mesh = make_mesh(dp=2, sp=2, tp=2)  # all 8 CPU devices
+    pipe = _tiny_pipeline().shard(mesh, unet_tp_rules)
+    out = pipe(emb, neg, **kwargs)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
 
 
 def test_sp_training_step_matches_unsharded(rng):
@@ -97,21 +106,34 @@ def test_sp_training_step_matches_unsharded(rng):
     vae_params = vae.init(jax.random.key(1),
                           jnp.zeros((1, hw, hw, 3), jnp.float32))["params"]
 
-    def run(mesh):
-        state = init_video_train_state(jax.tree.map(jnp.array, params), tcfg)
+    def run(mesh, tp_rules=None):
+        p0 = jax.tree.map(jnp.array, params)
+        if mesh is not None and tp_rules is not None:
+            from eeg2video_tpu.parallel import shard_params
+
+            p0 = shard_params(p0, mesh, tp_rules)
+        state = init_video_train_state(p0, tcfg)
         step = make_video_train_step(ucfg, vcfg, tcfg, mesh=mesh)
         state, loss = step(state, vae_params, jnp.asarray(pixels),
                            jnp.asarray(ctx), jax.random.key(3))
         return float(loss), state.params
 
+    def check(loss_got, params_got, tag):
+        assert abs(loss_got - loss_ref) < 1e-5 * max(1.0, abs(loss_ref)), tag
+        flat = {jax.tree_util.keystr(p): l
+                for p, l in jax.tree_util.tree_leaves_with_path(params_got)}
+        for p, ref_leaf in jax.tree_util.tree_leaves_with_path(params_ref):
+            name = jax.tree_util.keystr(p)
+            np.testing.assert_allclose(np.asarray(flat[name]),
+                                       np.asarray(ref_leaf),
+                                       rtol=2e-4, atol=1e-5,
+                                       err_msg=f"{tag}: {name}")
+
     loss_ref, params_ref = run(None)
-    loss_sp, params_sp = run(make_mesh(dp=2, sp=4))
-    assert abs(loss_sp - loss_ref) < 1e-5 * max(1.0, abs(loss_ref))
-    flat_ref = jax.tree_util.tree_leaves_with_path(params_ref)
-    flat_sp = {jax.tree_util.keystr(p): l
-               for p, l in jax.tree_util.tree_leaves_with_path(params_sp)}
-    for p, ref_leaf in flat_ref:
-        name = jax.tree_util.keystr(p)
-        np.testing.assert_allclose(np.asarray(flat_sp[name]),
-                                   np.asarray(ref_leaf),
-                                   rtol=2e-4, atol=1e-5, err_msg=name)
+    check(*run(make_mesh(dp=2, sp=4)), "dp2xsp4")
+    # round 5: ring + Megatron head-sharding tp in ONE training step
+    # (tp-sharded to_q/k/v/FFN weights, ring over sp inside each head
+    # shard) — the former sp x tp exclusion, now an equality gate
+    from eeg2video_tpu.train import unet_tp_rules
+
+    check(*run(make_mesh(dp=2, sp=2, tp=2), unet_tp_rules), "dp2xsp2xtp2")
