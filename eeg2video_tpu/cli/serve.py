@@ -79,910 +79,48 @@ one.
 
 import argparse
 import json
-import os
 import sys
 import time
 
 import numpy as np
 
-from ..data.io import load_array
-from ..data.video import AsyncVideoWriter, dispatch_ahead
-from ..diffusion.pipeline import latents_from_torch_layout
 from ..utils import get_logger
-from .inference_eeg2video import load_pipeline
 from ..utils.cache import enable_persistent_cache
+from .inference_eeg2video import load_pipeline
+
+# The serving implementation lives in eeg2video_tpu.serving (round 5:
+# runtimes / batching / transport unit seams); this module is the CLI
+# composition + protocol documentation.  The names below are re-exported
+# because they ARE this module's public surface (tests and operators
+# reach them as cli.serve.<name>).
+from ..serving.batching import (  # noqa: F401
+    _generate,
+    _noise_batch,
+    handle,
+)
+from ..serving.runtimes import (  # noqa: F401
+    _COMPILE_KNOBS,
+    _KNOBS,
+    _check_request_knobs,
+    _encode_features,
+    _features_from_raw,
+    _knob_key,
+    _latents_from_raw,
+    _load_request,
+    _load_semantic,
+    _load_seq2seq,
+)
+from ..serving.transport import (  # noqa: F401
+    _SocketClient,
+    _Stats,
+    _StdioClient,
+    _enqueue,
+    _serve_coalesced,
+    _serve_queue,
+    _serve_socket,
+)
 
 log = get_logger(__name__)
-
-
-def _load_semantic(args):
-    """Load the semantic predictor ONCE at startup and return a warm
-    ``(N, 310) features -> (N, 77*768) embeddings`` callable.
-
-    Serving version of ``inference_semantic``: the jitted MLP graph is
-    built once (not per request), int8 weights are quantized once (the
-    CLI path re-quantizes per run, fine for one-shot, wasteful warm), and
-    variable request sizes are padded to a fixed row chunk so one compiled
-    graph serves every request size."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..models.semantic import SemanticPredictor
-    from ..train import checkpoint as ckpt
-    from ..utils import StandardScaler
-
-    if args.torch_semantic:
-        from ..models.semantic import semantic_params_from_torch
-
-        variables = semantic_params_from_torch(
-            ckpt.load_torch_state_dict(args.torch_semantic))
-    else:
-        model = SemanticPredictor(hidden=args.hidden)
-        template = jax.eval_shape(lambda: {"params": model.init(
-            jax.random.key(0), jnp.zeros((1, 310)))["params"]})
-        variables, _ = ckpt.restore_checkpoint(args.semantic_ckpt,
-                                               template=template)
-        if variables is None:
-            raise SystemExit(
-                f"no semantic checkpoint in {args.semantic_ckpt}")
-    scaler = (StandardScaler.load(args.semantic_scaler)
-              if args.semantic_scaler else None)
-
-    if args.semantic_int8:
-        # weight-only int8 (ops/int8_dense): quantize ONCE, 4x less HBM
-        # weight traffic per request, output cosine > 0.999 vs f32
-        from ..ops.int8_dense import int8_dense, quantize_dense_tree
-
-        params = (variables["params"] if "params" in variables
-                  else variables)
-        qt = quantize_dense_tree(params)
-        names = ([k for k in sorted(params) if k.startswith("fc")]
-                 + ["out"])
-
-        def apply(x):
-            for i, name in enumerate(names):
-                w_q, scale, bias, n_out = qt[name]
-                x = int8_dense(x, w_q, scale, bias, n_out)
-                if i < len(names) - 1:
-                    x = jax.nn.relu(x)
-            return x
-    else:
-        model = SemanticPredictor(hidden=args.hidden)
-        apply = jax.jit(lambda x: model.apply(variables, x))
-
-    # rows per dispatch: one warm graph for any request size — the SAME
-    # chunk as the file-chain predict_semantic, so server output is
-    # bitwise-identical to the chained CLI artifacts (shape unification;
-    # see train/semantic.PREDICT_CHUNK)
-    from ..train.semantic import PREDICT_CHUNK as chunk
-    from ..train.semantic import pad_rows
-
-    def predict(eeg):
-        eeg = np.asarray(eeg, np.float32).reshape(-1, 310)
-        if scaler is not None:
-            eeg = scaler.transform(eeg)
-        n = len(eeg)
-        eeg = pad_rows(eeg, chunk)
-        out = np.concatenate([
-            np.asarray(apply(jnp.asarray(eeg[s:s + chunk])))
-            for s in range(0, len(eeg), chunk)])
-        return out[:n]
-
-    return predict
-
-
-def _load_seq2seq(args):
-    """Load the Seq2Seq EEG->latent transformer ONCE at startup and return
-    a warm ``(N, 7, 62, 100) windows -> (N, F, C, H, W) latents`` callable
-    (z-scoring with the persisted train-split scaler and undoing
-    ``--normalize`` latent stats when configured).
-
-    Serving version of the inference_seq2seq_v2 -> add_noise ->
-    inference_eeg2video file chain: the rollout graph compiles once and
-    requests carry raw EEG instead of precomputed latent artifacts."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..models.seq2seq import Seq2SeqTransformer
-    from ..train import checkpoint as ckpt
-    from ..train.seq2seq import rollout_latents
-    from ..utils import StandardScaler
-
-    model = Seq2SeqTransformer(
-        n_frames=args.seq2seq_frames,
-        latent_shape=tuple(int(d) for d in args.seq2seq_latent.split(",")))
-    if args.torch_seq2seq:
-        from ..convert.seq2seq_params import seq2seq_params_from_torch
-
-        variables = seq2seq_params_from_torch(
-            ckpt.load_torch_state_dict(args.torch_seq2seq))
-    else:
-        template = jax.eval_shape(
-            lambda: model.init(jax.random.key(0),
-                               jnp.zeros((1, 7, 62, 100))))
-        variables, _ = ckpt.restore_checkpoint(args.seq2seq_ckpt,
-                                               template=template)
-        if variables is None:
-            raise SystemExit(
-                f"no seq2seq checkpoint in {args.seq2seq_ckpt}")
-    scaler = (StandardScaler.load(args.seq2seq_scaler)
-              if args.seq2seq_scaler else None)
-    stats = np.load(args.seq2seq_stats) if args.seq2seq_stats else None
-
-    # jit ONCE at startup (rollout_latents builds a fresh jit per call —
-    # fine for the one-shot CLI, a per-request retrace warm); variable
-    # request sizes pad to a fixed row chunk so one compiled graph serves
-    # every request size, same pattern as the semantic predictor above
-    apply = jax.jit(
-        lambda x: model.apply(variables, x, train=False)[1][:, :-1])
-    # SAME chunk as the file-chain rollout_latents -> bitwise-identical
-    # latents between server and chained CLI (train/seq2seq.ROLLOUT_CHUNK)
-    from ..train.semantic import pad_rows
-    from ..train.seq2seq import ROLLOUT_CHUNK as chunk
-
-    def predict(windows):
-        windows = np.asarray(windows, np.float32)
-        if scaler is not None:
-            windows = scaler.transform(
-                windows.reshape(len(windows), -1)).reshape(windows.shape)
-        n = len(windows)
-        windows = pad_rows(windows, chunk)
-        out = np.concatenate([
-            np.asarray(apply(jnp.asarray(windows[s:s + chunk])))
-            for s in range(0, len(windows), chunk)])[:n]
-        if stats is not None:
-            out = out * stats["std_z"] + stats["mean_z"]
-        return out  # (N, F, C, H, W)
-
-    return predict
-
-
-def _latents_from_raw(args, req, raw=None):
-    """Raw-EEG request -> channels-last latents, in-process: the warm
-    Seq2Seq rollout plus (by default, when flow scores are configured)
-    DANA dynamic noising — the reference's FULL-model latent source,
-    produced by three chained scripts + two disk artifacts
-    (my_autoregressive_transformer.py:377-387 -> add_noise.py:100-129 ->
-    inference_eeg2video.py:66-70); set {"dana": false} for the woDANA
-    ablation (Seq2Seq latents straight into the pipeline).
-
-    ``req["raw"]`` accepts the per-subject segmented ``(7, 40, 5, 62, 400)``
-    file (GT-label-reordered for ``req["block"]``, default 6, exactly as
-    prepare_seq2seq_data orders the latents it was trained against), a
-    caller-ordered ``(N, 62, 400)`` segment stack, or pre-windowed
-    ``(N, 7, 62, 100)`` arrays.  DANA is applied to the WHOLE decoded set
-    before any ``indices`` selection (matching the file chain, where the
-    artifact is noised once and the driver slices clips from it)."""
-    import jax
-
-    from ..data import meta
-    from ..diffusion.dana import dana_add_noise
-
-    fn = getattr(args, "seq2seq_predict", None)
-    if fn is None:
-        raise ValueError(
-            "server started without --seq2seq_ckpt/--torch_seq2seq: 'raw' "
-            "requests are unavailable (send 'latents', or restart serve "
-            "with a seq2seq checkpoint)")
-    from ..train.seq2seq import windows_from_segments
-
-    if raw is None:
-        raw = np.asarray(load_array(req["raw"]), np.float32)
-    block = int(req.get("block", 6))
-    whole_subject = raw.ndim == 5
-    if whole_subject:  # (7, 40, 5, 62, 400)
-        seg = meta.reorder_by_gt(raw[block], block)
-        windows = windows_from_segments(
-            seg.reshape(-1, *seg.shape[-2:]))
-    elif raw.ndim == 3 and raw.shape[-1] == 400:  # (N, 62, 400)
-        windows = windows_from_segments(raw)
-    elif raw.ndim == 4 and raw.shape[-1] == 100:  # (N, 7, 62, 100)
-        windows = raw
-    else:
-        raise ValueError(f"unrecognized raw EEG shape {raw.shape}")
-
-    lat = fn(windows)  # (N, F, C, H, W)
-
-    flow_path = req.get("flow_scores") or args.flow_scores
-    if req.get("dana", flow_path is not None):
-        if flow_path is None:
-            raise ValueError(
-                "request asked for DANA but no flow scores are configured "
-                "(pass 'flow_scores' in the request or start serve with "
-                "--flow_scores)")
-        flow = np.asarray(load_array(flow_path))
-        if whole_subject:
-            # the (7, 200) shipped table, presentation order: slice the
-            # block and reorder labels into class order to match the
-            # latents (the corrected indexing — cli.add_noise
-            # --replicate_label_bug documents the reference's L120 bug)
-            if flow.ndim == 2:
-                flow = flow[block]
-            if flow.size != meta.N_CONCEPTS * meta.N_REPS:
-                raise ValueError(
-                    f"{flow.size} flow scores, expected "
-                    f"{meta.N_CONCEPTS * meta.N_REPS} for a "
-                    "whole-subject request")
-            labels = flow >= args.dana_threshold
-            idx = meta.block_reorder_indices(block)
-            labels = labels.reshape(meta.N_CONCEPTS, meta.N_REPS)[idx]
-            labels = labels.reshape(-1)
-        else:
-            # caller-ordered segments: scores are positional, used as-is
-            labels = (flow.reshape(-1) >= args.dana_threshold)
-        if len(labels) != len(lat):
-            raise ValueError(f"{len(labels)} flow scores for "
-                             f"{len(lat)} clips")
-        betas = np.where(labels, 0.3, 0.2).astype(np.float32)
-        lat = np.asarray(dana_add_noise(
-            jax.random.key(int(req.get("dana_seed", args.dana_seed))),
-            lat, betas, time_steps=args.dana_time_steps))
-    # the rollout layout is known (B, F, C, H, W) -> channels-last directly
-    # (no latents_from_torch_layout shape heuristics at tiny test shapes)
-    return np.transpose(lat, (0, 1, 3, 4, 2))
-
-
-def _features_from_raw(args, req, raw):
-    """2 s raw EEG segments -> DE features -> semantic embeddings, all
-    in-process: the extract_de_psd_features --mode 1per2s stage
-    (dsp.de_psd, the TPU matmul-DFT kernel — the CLI's --f32 path) chained
-    into the warm semantic predictor.  With this, a request carrying ONLY
-    ``raw`` drives both conditioning and (with --seq2seq_ckpt) latents."""
-    from ..data import meta
-    from ..dsp import de_psd
-
-    fn = getattr(args, "semantic_predict", None)
-    if fn is None:
-        raise ValueError(
-            "server started without --semantic_ckpt/--torch_semantic: "
-            "deriving embeddings from 'raw' needs the semantic predictor "
-            "(send 'embeddings'/'features', or restart serve with a "
-            "semantic checkpoint)")
-    if raw.ndim == 5:  # (7, 40, 5, 62, 400)
-        block = int(req.get("block", 6))
-        seg = meta.reorder_by_gt(raw[block], block)
-    elif raw.ndim == 3 and raw.shape[-1] == 2 * meta.FS:  # (N, 62, 400)
-        seg = raw
-    else:
-        raise ValueError(
-            f"deriving DE features needs 2 s raw segments (..., 62, 400), "
-            f"got {raw.shape} (pre-windowed 'raw' arrays can only feed the "
-            f"latent branch — send 'features' or 'embeddings' alongside)")
-    de, _ = de_psd(seg)
-    return fn(np.asarray(de).reshape(-1, meta.N_CHANNELS * meta.N_BANDS))
-
-
-def _encode_features(args, req):
-    """EEG DE features -> semantic embeddings, in-process (the end-to-end
-    product path: the reference chains inference_semantic -> the driver via
-    an .npy file on disk; here one request carries the features and the
-    warm predictor runs before the diffusion dispatch).
-
-    Accepts the per-subject ``(7, 40, 5, 62, 5)`` DE_1per2s file (reordered
-    by GT_label for ``block``, reference eeg_text.py:127-134 semantics, as
-    in ``inference_semantic``) or a pre-flattened ``(N, 62*5)`` array."""
-    fn = getattr(args, "semantic_predict", None)
-    if fn is None:
-        raise ValueError(
-            "server started without --semantic_ckpt/--torch_semantic: "
-            "'features' requests are unavailable (send 'embeddings', or "
-            "restart serve with a semantic checkpoint)")
-    from ..data import meta
-
-    feats = load_array(req["features"])
-    if feats.ndim > 2:
-        block = int(req.get("block", 6))
-        feats = meta.reorder_by_gt(feats[block], block)
-    return fn(feats)
-
-
-def _load_request(args, req):
-    """Parse one generation request into arrays + identity metadata."""
-    import jax
-
-    _check_request_knobs(args, req)
-    raw = (np.asarray(load_array(req["raw"]), np.float32)
-           if req.get("raw") else None)  # loaded ONCE for both branches
-    if req.get("features"):
-        emb = _encode_features(args, req).reshape(-1, 77 * 768)
-    elif req.get("embeddings"):
-        emb = load_array(req["embeddings"]).reshape(
-            -1, 77 * 768).astype(np.float32)
-    elif raw is not None:
-        emb = _features_from_raw(args, req, raw).reshape(-1, 77 * 768)
-    else:
-        raise ValueError(
-            "request carries none of 'embeddings'/'features'/'raw'")
-    if req.get("negative") or args.negative:
-        negative = load_array(req.get("negative") or args.negative)
-        negative = negative.reshape(-1).astype(np.float32)
-    else:
-        # reference driver behavior (L45): mean over the WHOLE embedding
-        # file — computed before index selection so a {"indices": [3]}
-        # request uses the same CFG negative as a full-batch request (a
-        # subset mean would make a single-clip request's negative equal its
-        # own embedding, cancelling guidance entirely)
-        negative = emb.mean(axis=0)
-    idx = req.get("indices")
-    if idx is not None:
-        emb = emb[np.asarray(idx, np.int64)]
-    latents = None
-    # raw implies Seq2Seq latents unless {"seq2seq": false} opts into the
-    # woSeq2Seq ablation (noise latents) — e.g. on a semantic-only server
-    if raw is not None and req.get("seq2seq", True):
-        if req.get("latents"):
-            raise ValueError(
-                "request carries both 'raw' and 'latents' with seq2seq "
-                "enabled — ambiguous latent source: drop 'latents' to "
-                "roll them out from raw, or send {'seq2seq': false} to "
-                "use the provided latents with raw-derived conditioning")
-        latents = _latents_from_raw(args, req, raw)
-    elif req.get("latents"):
-        latents = latents_from_torch_layout(load_array(req["latents"]))
-    if latents is not None and idx is not None:
-        latents = latents[np.asarray(idx, np.int64)]
-    return {
-        "emb": emb, "negative": negative, "latents": latents,
-        "names": list(idx) if idx is not None else list(range(len(emb))),
-        "out_dir": req.get("out_dir") or args.out_dir,
-        "key": jax.random.key(int(req.get("seed", args.seed))),
-    }
-
-
-def _generate(pipe, key, emb, negative, latents, out_dir, args, req,
-              names=None):
-    import jax
-
-    g = lambda name: req.get(name, getattr(args, name))
-    os.makedirs(out_dir, exist_ok=True)
-    gifs = []
-    n = len(emb)
-    if names is None:
-        names = list(range(n))
-    bs = args.max_batch
-    # encode on writer threads, dispatch batch s+1 before transferring batch
-    # s — request latency is device time + the LAST batch's encode only
-    # (the default fast encoder cut the per-clip encode 0.8 s -> ~0.03 s)
-    writer = AsyncVideoWriter(encoder=g("gif_encoder"))
-
-    def run(s):
-        e = emb[s:s + bs]
-        lat = None if latents is None else latents[s:s + bs]
-        # fold by the batch's first CLIP IDENTITY (requested embedding
-        # index), not the request-relative offset: at --max_batch 1 (the
-        # default) the same clip+seed samples identical noise regardless
-        # of request composition, so identity-named GIFs are coherent
-        # across requests sharing an out_dir
-        return pipe(
-            e, negative, latents=lat,
-            key=jax.random.fold_in(key, int(names[s])),
-            video_length=g("video_length"), height=g("height"),
-            width=g("width"), num_inference_steps=g("num_inference_steps"),
-            guidance_scale=g("guidance_scale"), sampler=g("sampler")), len(e)
-
-    def flush(out, s):
-        videos, m = out
-        videos = np.asarray(videos)
-        for j in range(m):
-            path = os.path.join(out_dir, f"{names[s + j]}.gif")
-            writer.submit(videos[j:j + 1], path)
-            gifs.append(path)
-
-    try:
-        dispatch_ahead(range(0, n, bs), run, flush)
-    finally:
-        writer.close()
-    return gifs
-
-
-def handle(pipe, args, req):
-    if req.get("cmd") == "ping":
-        return {"ok": True, "pong": time.time()}
-    r = _load_request(args, req)
-    t0 = time.time()
-    # GIFs are named by the requested embedding index (clip identity), so
-    # two requests sharing an out_dir write distinct files
-    gifs = _generate(pipe, r["key"], r["emb"], r["negative"], r["latents"],
-                     r["out_dir"], args, req, names=req.get("indices"))
-    return {"ok": True, "gifs": gifs, "clips": len(gifs),
-            "latency_s": round(time.time() - t0, 3)}
-
-
-_KNOBS = ("num_inference_steps", "guidance_scale", "height", "width",
-          "video_length", "sampler", "gif_encoder")
-
-# Knobs that change the COMPILED graph (shape or structure): a request
-# overriding one triggers a full XLA compile — minutes behind the TPU
-# tunnel — stalling the shared queue loop for every other client.
-# guidance_scale is a traced scalar and gif_encoder is host-side, so
-# neither recompiles; they stay per-request.
-_COMPILE_KNOBS = ("num_inference_steps", "height", "width",
-                  "video_length", "sampler")
-
-
-def _check_request_knobs(args, req):
-    """Reject per-request compile-shape overrides unless the operator
-    opted in with --allow_request_knobs (a recompile is a denial of
-    service any client could trigger otherwise).  Sending a knob whose
-    value EQUALS the server's is always fine — no new graph."""
-    if getattr(args, "allow_request_knobs", False):
-        return
-    bad = [k for k in _COMPILE_KNOBS
-           if k in req and req[k] != getattr(args, k)]
-    if bad:
-        raise ValueError(
-            f"request overrides compile-shape knobs {bad} but the server "
-            "was started without --allow_request_knobs (each new value "
-            "compiles a new graph, stalling every other client)")
-
-_NOISE_FN = {}
-
-
-def _knob_key(args, req):
-    """Resolved generation knobs — requests batch together iff these match
-    (guidance_scale is a traced scalar so it would not recompile, but a
-    dispatch has ONE guidance value; the rest are compile-shape knobs)."""
-    return tuple(req.get(k, getattr(args, k)) for k in _KNOBS)
-
-
-def _noise_batch(keys, shape):
-    """Stacked per-clip initial noise: row i == what the non-coalesced
-    single-clip path samples in-graph (``normal(fold_in(seed, name),
-    (1,) + shape)``; threefry is vmap-invariant), so a clip's noise never
-    depends on which requests share its dispatch."""
-    import jax
-
-    fn = _NOISE_FN.get(shape)
-    if fn is None:
-        fn = jax.jit(jax.vmap(
-            lambda k: jax.random.normal(k, (1,) + shape)[0]))
-        _NOISE_FN[shape] = fn
-    return fn(keys)
-
-
-def _process_group(pipe, args, group, emit):
-    """Run one coalesced batch of requests (identical knobs).  Every request
-    gets exactly one reply, STREAMED in arrival order as soon as its own
-    GIFs are written — an early request in a deep queue replies after its
-    dispatch lands, not after the whole group (measured on the v5e: an
-    8-request queue at --max_batch 2 completes in 4 overlapped dispatches;
-    without streaming every reply waited the full ~13 s group span).
-
-    ``group`` entries are (req, t0, client); ``emit(resp, req, client)``
-    routes each reply to the connection the request arrived on (all replies
-    go to stdout in stdin mode)."""
-    import threading
-
-    import jax
-
-    g0 = group[0][0]
-    g = lambda name: g0.get(name, getattr(args, name))
-    f, h, w = g("video_length"), g("height"), g("width")
-    h8, w8 = h // 8, w // 8
-
-    lock = threading.Lock()
-    ready = {}  # slot -> reply, awaiting ordered emission
-    next_emit = [0]
-
-    def finish(slot, reply):
-        # main thread or a GIF-writer callback thread; replies leave in
-        # arrival order (a later slot's reply waits for earlier slots)
-        with lock:
-            ready[slot] = reply
-            while next_emit[0] < len(group) and next_emit[0] in ready:
-                i = next_emit[0]
-                emit(ready.pop(i), group[i][0], group[i][2])
-                next_emit[0] += 1
-
-    try:
-        loaded = []  # (slot, parsed)
-        for slot, (req, _t0, _client) in enumerate(group):
-            try:
-                loaded.append((slot, _load_request(args, req)))
-            except Exception as e:  # reply per-request, keep the batch going
-                finish(slot, {"ok": False,
-                              "error": f"{type(e).__name__}: {e}"})
-        clips = []  # (emb_row, negative, latent_row|None, key, name, out_dir, slot)
-        slot_clips = {}
-        for slot, r in loaded:
-            # validate per slot so one request's malformed data (wrong-shape
-            # latents/negative) error-replies THAT request instead of
-            # poisoning the shared batch assembly below — matching the
-            # non-coalesced path's per-request failure isolation
-            try:
-                neg = np.asarray(r["negative"], np.float32).reshape(-1)
-                if neg.shape != (77 * 768,):
-                    raise ValueError(
-                        f"negative has {neg.size} values, expected {77 * 768}")
-                rows = []
-                for j in range(len(r["emb"])):
-                    lat = None
-                    if r["latents"] is not None:
-                        lat = np.asarray(r["latents"][j], np.float32)
-                        if lat.shape != (f, h8, w8, 4):
-                            raise ValueError(
-                                f"latents clip shape {lat.shape} != "
-                                f"{(f, h8, w8, 4)}")
-                    rows.append((r["emb"][j], neg, lat, r["key"],
-                                 int(r["names"][j]), r["out_dir"], slot))
-            except Exception as e:
-                finish(slot, {"ok": False,
-                              "error": f"{type(e).__name__}: {e}"})
-                continue
-            if not rows:
-                finish(slot, {"ok": True, "gifs": [], "clips": 0,
-                              "latency_s": 0.0, "coalesced": len(group)})
-                continue
-            slot_clips[slot] = len(rows)
-            clips.extend(rows)
-        n = len(clips)
-        if not n:
-            return
-        emb_all = np.stack([c[0] for c in clips])
-        neg_all = np.stack([c[1] for c in clips])
-        lat_all = np.zeros((n, f, h8, w8, 4), np.float32)
-        need = []
-        for i, c in enumerate(clips):
-            if c[2] is None:
-                need.append(i)
-            else:
-                lat_all[i] = c[2]
-        if need:
-            keys = jax.numpy.stack(
-                [jax.random.fold_in(clips[i][3], clips[i][4]) for i in need])
-            lat_all[np.asarray(need)] = np.asarray(
-                _noise_batch(keys, (f, h8, w8, 4)), np.float32)
-        bs = max(1, args.max_batch)
-        pad = (-n) % bs
-        if pad:  # repeat the last clip: every dispatch hits the ONE warm
-            # graph; pad rows are computed but never flushed
-            emb_all = np.concatenate([emb_all, np.repeat(emb_all[-1:], pad, 0)])
-            neg_all = np.concatenate([neg_all, np.repeat(neg_all[-1:], pad, 0)])
-            lat_all = np.concatenate([lat_all, np.repeat(lat_all[-1:], pad, 0)])
-        gifs = [[] for _ in group]
-        slot_futs = {slot: [] for slot, _ in loaded}
-        writer = AsyncVideoWriter(encoder=g("gif_encoder"))
-
-        def arm(slot):
-            # the slot's last clip is submitted: when its last GIF write
-            # resolves, build and stream the reply
-            futs = list(slot_futs[slot])
-            remaining = [len(futs)]
-
-            def cb(_):
-                with lock:
-                    remaining[0] -= 1
-                    if remaining[0]:
-                        return
-                errs = [e for e in (fu.exception() for fu in futs)
-                        if e is not None]
-                if errs:
-                    finish(slot, {"ok": False,
-                                  "error": f"{type(errs[0]).__name__}: "
-                                           f"{errs[0]}"})
-                else:
-                    finish(slot, {
-                        "ok": True, "gifs": gifs[slot],
-                        "clips": len(gifs[slot]),
-                        "latency_s": round(time.time() - group[slot][1], 3),
-                        "coalesced": len(group)})
-
-            for fu in futs:
-                fu.add_done_callback(cb)
-
-        def run(s):
-            return pipe(
-                emb_all[s:s + bs], neg_all[s:s + bs],
-                latents=lat_all[s:s + bs], key=jax.random.key(0),
-                video_length=f, height=h, width=w,
-                num_inference_steps=g("num_inference_steps"),
-                guidance_scale=g("guidance_scale"), sampler=g("sampler"))
-
-        path_last = {}  # GIF path -> last submitted write future
-
-        def flush(videos, s):
-            videos = np.asarray(videos)
-            for j in range(min(bs, n - s)):
-                _, _, _, _, name, out_dir, slot = clips[s + j]
-                os.makedirs(out_dir, exist_ok=True)
-                path = os.path.join(out_dir, f"{name}.gif")
-                # two coalesced requests can name the same path (same
-                # out_dir + clip index); serialize those writes — the
-                # sequential non-coalesced loop made the second a benign
-                # overwrite, concurrent writer threads would interleave
-                prev = path_last.get(path)
-                if prev is not None:
-                    prev.exception()  # wait; its error stays with ITS slot
-                fu = writer.submit(videos[j:j + 1], path)
-                path_last[path] = fu
-                slot_futs[slot].append(fu)
-                gifs[slot].append(path)
-                if len(slot_futs[slot]) == slot_clips[slot]:
-                    arm(slot)
-
-        try:
-            dispatch_ahead(range(0, n, bs), run, flush)
-        finally:
-            writer.close()  # all futures resolved -> all callbacks fired
-    except Exception as e:  # batch-level failure: err-reply unfinished slots
-        err = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-        with lock:
-            missing = [s for s in range(len(group))
-                       if s >= next_emit[0] and s not in ready]
-        for slot in missing:
-            finish(slot, dict(err))
-
-
-class _StdioClient:
-    """The stdin-mode 'connection': replies print to stdout."""
-
-    alive = True
-
-    def send(self, resp):
-        print(json.dumps(resp), flush=True)
-
-
-class _SocketClient:
-    """One accepted connection; ``send`` is thread-safe (reply callbacks
-    fire on GIF-writer threads) and dead peers are dropped, never fatal."""
-
-    def __init__(self, conn):
-        import threading
-
-        self._wfile = conn.makefile("w", encoding="utf-8")
-        self._lock = threading.Lock()
-        self.alive = True
-
-    def send(self, resp):
-        try:
-            with self._lock:
-                self._wfile.write(json.dumps(resp) + "\n")
-                self._wfile.flush()
-        except OSError:
-            self.alive = False
-
-
-def _serve_queue(pipe, args, q, _EOF, stats):
-    """Shared request loop for stdin --coalesce and --listen modes: readers
-    feed ``q`` with (line, client); each iteration drains every
-    already-queued knob-compatible request into one batched
-    `_process_group` call (or, without --coalesce, a group of one).
-    Draining stops at the first cmd or knob-mismatched request (kept FIFO
-    via `pending`), so replies stay in arrival order."""
-    import collections
-    import queue as queue_mod
-
-    def emit(resp, req, client):
-        if isinstance(req, dict) and "id" in req:
-            resp["id"] = req["id"]
-        stats.reply(resp)
-        client.send(resp)
-
-    def parse(line, client):
-        line = line.strip()
-        if not line:
-            return None
-        try:
-            req = json.loads(line)
-            if not isinstance(req, dict):
-                raise ValueError(f"expected a JSON object, got "
-                                 f"{type(req).__name__}")
-            return req
-        except (json.JSONDecodeError, ValueError) as e:
-            client.send({"ok": False, "error": f"bad json: {e}"})
-            return None
-
-    pending = collections.deque()
-    eof = False
-    while True:
-        if pending:
-            req, t0, client = pending.popleft()
-        elif eof:
-            return 0
-        else:
-            line, client = q.get()
-            if line is _EOF:
-                return 0
-            req = parse(line, client)
-            if req is None:
-                continue
-            t0 = time.time()
-        if req.get("cmd") == "shutdown":
-            emit({"ok": True, "bye": True}, req, client)
-            return 0
-        if req.get("cmd") == "ping":
-            emit({"ok": True, "pong": time.time()}, req, client)
-            continue
-        if req.get("cmd") == "stats":
-            emit(stats.snapshot(), req, client)
-            continue
-        if req.get("cmd"):
-            emit({"ok": False, "error": f"unknown cmd: {req['cmd']}"},
-                 req, client)
-            continue
-        group = [(req, t0, client)]
-        gkey = _knob_key(args, req)
-
-        def _clip_count(r):
-            # None = whole embedding file (size unknown here, but >= one
-            # full dispatch in practice): don't hold it for company
-            idx = r.get("indices")
-            return len(idx) if idx is not None else None
-
-        n_clips = _clip_count(req)
-        while args.coalesce and not eof and not pending:
-            try:
-                # only delay dispatch while the batch is still short of one
-                # full device dispatch of CLIPS (a single multi-clip request
-                # can fill dispatches by itself); past that, take what is
-                # instantly available
-                if (args.coalesce_wait > 0 and n_clips is not None
-                        and n_clips < max(1, args.max_batch)):
-                    line, nclient = q.get(timeout=args.coalesce_wait)
-                else:
-                    line, nclient = q.get_nowait()
-            except queue_mod.Empty:
-                break
-            if line is _EOF:
-                eof = True
-                break
-            nreq = parse(line, nclient)
-            if nreq is None:
-                continue
-            if nreq.get("cmd") or _knob_key(args, nreq) != gkey:
-                pending.append((nreq, time.time(), nclient))
-            else:
-                group.append((nreq, time.time(), nclient))
-                c = _clip_count(nreq)
-                n_clips = (None if n_clips is None or c is None
-                           else n_clips + c)
-        # every slot is guaranteed exactly one reply (streamed in arrival
-        # order; batch-level failures error-reply the unfinished slots)
-        _process_group(pipe, args, group, emit)
-
-
-def _enqueue(q, line, client, args, stats):
-    """Reader-side admission control: past --max_queue pending lines, work
-    requests get an IMMEDIATE queue_full error reply instead of growing the
-    queue without bound (an unbounded queue under overload means unbounded
-    memory and minutes-stale replies).  cmd lines (shutdown/ping/stats) are
-    always admitted — they are cheap and an operator must never be locked
-    out of shutdown by the very overload they are trying to stop."""
-    if args.max_queue and q.qsize() >= args.max_queue:
-        try:
-            req = json.loads(line)
-        except ValueError:
-            req = None
-        if not (isinstance(req, dict) and req.get("cmd")):
-            resp = {"ok": False,
-                    "error": f"queue_full: {args.max_queue} requests "
-                             "already pending"}
-            if isinstance(req, dict) and "id" in req:
-                resp["id"] = req["id"]
-            stats.reply(resp)
-            client.send(resp)
-            return
-    q.put((line, client))
-
-
-def _serve_coalesced(pipe, args, stats):
-    """stdin --coalesce mode: one reader thread feeds the shared queue."""
-    import queue as queue_mod
-    import threading
-
-    q = queue_mod.Queue()
-    _EOF = object()
-    client = _StdioClient()
-
-    def reader():
-        for line in sys.stdin:
-            _enqueue(q, line, client, args, stats)
-        q.put((_EOF, client))
-
-    threading.Thread(target=reader, daemon=True).start()
-    return _serve_queue(pipe, args, q, _EOF, stats)
-
-
-def _serve_socket(pipe, args, stats):
-    """--listen HOST:PORT mode: concurrent clients over TCP, one JSONL
-    protocol line per request — the product serving transport (the
-    reference has no serving surface at all; its driver is a one-shot
-    script, inference_eeg2video.py:74-86).  Every connection's requests
-    feed ONE shared queue, so --coalesce batches clips ACROSS clients;
-    replies route back to the connection that asked.  A "shutdown" cmd
-    from any client stops the server; client disconnects don't."""
-    import queue as queue_mod
-    import socket
-    import threading
-
-    host, _, port = args.listen.rpartition(":")
-    srv = socket.create_server((host or "127.0.0.1", int(port)))
-    bound = srv.getsockname()[1]
-    # operator console: the actual port (0 = ephemeral for tests)
-    print(json.dumps({"ok": True, "ready": True, "port": bound}), flush=True)
-
-    q = queue_mod.Queue()
-    _EOF = object()
-    stop = threading.Event()
-
-    def reader(conn, addr):
-        client = _SocketClient(conn)
-        client.send({"ok": True, "ready": True})
-        try:
-            with conn:
-                # errors="replace": a stray non-UTF8 byte becomes a bad-json
-                # reply instead of killing this reader thread
-                rfile = conn.makefile("r", encoding="utf-8",
-                                      errors="replace")
-                for line in rfile:
-                    _enqueue(q, line, client, args, stats)
-                    if stop.is_set():
-                        break
-        except OSError:
-            pass
-        client.alive = False
-        log.info("client %s disconnected", addr)
-
-    def acceptor():
-        while not stop.is_set():
-            try:
-                conn, addr = srv.accept()
-            except OSError:  # listener shut down
-                return
-            log.info("client %s connected", addr)
-            threading.Thread(target=reader, args=(conn, addr),
-                             daemon=True).start()
-
-    acceptor_t = threading.Thread(target=acceptor, name="serve-acceptor",
-                                  daemon=True)
-    acceptor_t.start()
-    try:
-        return _serve_queue(pipe, args, q, _EOF, stats)
-    finally:
-        stop.set()
-        # close() alone does NOT wake a thread blocked in accept() on
-        # Linux — shutdown(SHUT_RDWR) does (accept returns EINVAL), so the
-        # acceptor exits instead of wedging forever holding a dead fd
-        try:
-            srv.shutdown(socket.SHUT_RDWR)
-        except OSError:
-            pass
-        srv.close()
-        acceptor_t.join(timeout=5.0)
-        if acceptor_t.is_alive():  # pragma: no cover - defensive
-            log.warning("acceptor thread did not exit within 5 s")
-
-
-class _Stats:
-    """Served-request counters behind the {"cmd": "stats"} reply."""
-
-    def __init__(self):
-        import threading
-
-        self._lock = threading.Lock()
-        self._t0 = time.time()
-        self.requests = self.clips = self.errors = 0
-        self.latency_sum = 0.0
-
-    def reply(self, resp):
-        if "pong" in resp or "bye" in resp or "uptime_s" in resp:
-            return
-        with self._lock:
-            self.requests += 1
-            if resp.get("ok"):
-                self.clips += resp.get("clips", 0)
-                self.latency_sum += resp.get("latency_s", 0.0)
-            else:
-                self.errors += 1
-
-    def snapshot(self):
-        with self._lock:
-            done = self.requests - self.errors
-            return {"ok": True, "requests": self.requests,
-                    "clips": self.clips, "errors": self.errors,
-                    "mean_latency_s": round(
-                        self.latency_sum / done, 3) if done else None,
-                    "uptime_s": round(time.time() - self._t0, 1)}
 
 
 def main(argv=None):

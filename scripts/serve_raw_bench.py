@@ -106,9 +106,14 @@ def main():
     # product loaders, zero-filled restores (orbax replaced, not bypassed)
     ckpt_mod.restore_checkpoint = lambda path, template=None: (
         jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template), 0)
-    serve._features_from_raw = _timed("features",
-                                      serve._features_from_raw)
-    serve._latents_from_raw = _timed("latents", serve._latents_from_raw)
+    # patch in the module whose globals _load_request resolves (the cli
+    # module only re-exports these names)
+    from eeg2video_tpu.serving import runtimes
+
+    runtimes._features_from_raw = _timed("features",
+                                         runtimes._features_from_raw)
+    runtimes._latents_from_raw = _timed("latents",
+                                        runtimes._latents_from_raw)
 
     tmp = tempfile.mkdtemp(prefix="serve_raw_bench_")
     rng = np.random.default_rng(0)
