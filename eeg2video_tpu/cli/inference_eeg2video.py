@@ -178,7 +178,8 @@ def main(argv=None):
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel (ring attention) shards: spatial "
                         "attention FLOPs/memory split over an sp mesh axis "
-                        "(ops.ring; not combinable with --tp)")
+                        "(ops.ring; composes with --tp: the ring also "
+                        "splits heads over the tp axis)")
     args = p.parse_args(argv)
 
     if args.legacy:

@@ -256,7 +256,7 @@ def main(argv=None):
                         "flash custom_partitioning; any --max_batch)")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel (ring attention) sharding of "
-                        "the spatial attention (not combinable with --tp)")
+                        "the spatial attention (composes with --tp)")
     args = p.parse_args(argv)
 
     pipe = load_pipeline(args.unet, args.vae, dtype=args.dtype)

@@ -129,8 +129,17 @@ def main(argv=None):
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as JP
 
         if args.batch_size % args.dp:
-            # dp shards the batch axis: round down to a multiple
-            args.batch_size = max(args.batch_size // args.dp, 1) * args.dp
+            # dp shards the batch axis: round down to a multiple — and if
+            # no positive multiple fits (batch_size < dp, e.g. a tiny
+            # dataset clamped above), fail loudly rather than rounding UP
+            # past the dataset and crashing the epoch-scan reshape
+            bs = (args.batch_size // args.dp) * args.dp
+            if bs == 0:
+                raise SystemExit(
+                    f"--dp {args.dp} needs at least dp samples per batch; "
+                    f"batch_size={args.batch_size} (dataset n={n}) cannot "
+                    f"shard over {args.dp} devices")
+            args.batch_size = bs
             log.info("clamped batch_size to %d (divisible by dp=%d)",
                      args.batch_size, args.dp)
         mesh = Mesh(np.array(jax.devices()[: args.dp]), ("dp",))

@@ -137,7 +137,8 @@ def main(argv=None):
                    help="sequence-parallel mesh size: spatial attention "
                         "(fwd AND bwd) rides ring attention over an sp mesh "
                         "axis (ops.ring) — attention memory/FLOPs scale "
-                        "with sp; not combinable with --tp")
+                        "with sp; composes with --tp (ring + Megatron "
+                        "head-sharding on one mesh)")
     args = p.parse_args(argv)
 
     remat = True

@@ -107,7 +107,6 @@ def _load_seq2seq(args):
 
     from ..models.seq2seq import Seq2SeqTransformer
     from ..train import checkpoint as ckpt
-    from ..train.seq2seq import rollout_latents
     from ..utils import StandardScaler
 
     model = Seq2SeqTransformer(

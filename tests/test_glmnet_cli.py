@@ -3,11 +3,10 @@
 import os
 
 import numpy as np
+import pytest
 
 
-def test_train_and_inference_glmnet(tmp_path, rng):
-    from eeg2video_tpu.cli import inference_glmnet, train_glmnet
-
+def _write_sub(tmp_path, rng):
     raw_dir, de_dir = tmp_path / "raw", tmp_path / "de"
     os.makedirs(raw_dir)
     os.makedirs(de_dir)
@@ -16,6 +15,13 @@ def test_train_and_inference_glmnet(tmp_path, rng):
     de = rng.standard_normal((7, 40, 1, 1, 62, 5)).astype(np.float32)
     np.save(raw_dir / "sub1.npy", raw)
     np.save(de_dir / "sub1.npy", de)
+    return raw_dir, de_dir
+
+
+def test_train_and_inference_glmnet(tmp_path, rng):
+    from eeg2video_tpu.cli import inference_glmnet, train_glmnet
+
+    raw_dir, de_dir = _write_sub(tmp_path, rng)
 
     out = tmp_path / "out"
     train_glmnet.main([
@@ -32,6 +38,21 @@ def test_train_and_inference_glmnet(tmp_path, rng):
     emb = np.load(emb_out)
     assert emb.shape == (7, 40, 1, 1, 32)  # 2 * emb_dim embeddings per window
     assert np.all(np.isfinite(emb))
+
+
+def test_train_glmnet_dp_rejects_batch_smaller_than_dp(tmp_path, rng):
+    """--dp N with batch_size < N has no positive multiple of dp to round
+    down to; the CLI must fail loudly up front, not round the batch UP past
+    what the epoch-scan reshape can slice (the round-5 review found the old
+    max(bs//dp,1)*dp clamp did exactly that)."""
+    from eeg2video_tpu.cli import train_glmnet
+
+    raw_dir, de_dir = _write_sub(tmp_path, rng)
+    with pytest.raises(SystemExit, match="cannot shard"):
+        train_glmnet.main([
+            "--raw_dir", str(raw_dir), "--de_dir", str(de_dir), "--sub", "1",
+            "--save_path", str(tmp_path / "out"), "--epochs", "1",
+            "--batch_size", "5", "--dp", "8", "--emb_dim", "16"])
 
 
 def test_glmnet_plateau_lr_injection_reaches_traced_step():
