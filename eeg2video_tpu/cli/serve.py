@@ -75,6 +75,14 @@ served-request counters (requests/clips/errors/mean latency/uptime) on
 every transport.  Socket requests run through the queue loop's
 explicit-latents graph (the same one --coalesce uses) even for groups of
 one.
+
+Graceful shutdown — in the queue-loop modes (--coalesce / --listen),
+SIGTERM (what a TPU maintenance preemption delivers) drains instead of
+killing: readers stop admitting new work (immediate ``shutting_down``
+error replies), every request already queued is processed and replied to,
+and the process exits 0 once the queue runs dry.  Ctrl-C (SIGINT) still
+hard-stops; so does a ``{"cmd": "shutdown"}``, which replies and exits
+without draining the remaining queue.
 """
 
 import argparse

@@ -47,13 +47,44 @@ class _SocketClient:
             self.alive = False
 
 
-def _serve_queue(pipe, args, q, _EOF, stats):
+def _install_drain_handler(draining):
+    """SIGTERM → graceful drain: the flag makes readers stop admitting new
+    work (``shutting_down`` error replies) and the queue loop exit once
+    everything already queued has been processed and replied to.  A TPU
+    maintenance preemption delivers exactly SIGTERM, and a serving process
+    must not drop queued requests on the floor (the training-side analog is
+    ``train.checkpoint.PreemptionGuard``).  The handler only sets the Event
+    (no locks, no queue ops — safe in signal context); SIGINT is left alone
+    so an interactive Ctrl-C still hard-stops.  No-op off the main thread
+    (in-process tests drive the loop directly and set the flag by hand)."""
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return
+
+    def _h(signum, frame):
+        log.info("SIGTERM: draining queued requests, then exiting")
+        draining.set()
+
+    try:
+        signal.signal(signal.SIGTERM, _h)
+    except ValueError:  # pragma: no cover - non-main interpreter state
+        pass
+
+
+def _serve_queue(pipe, args, q, _EOF, stats, draining=None):
     """Shared request loop for stdin --coalesce and --listen modes: readers
     feed ``q`` with (line, client); each iteration drains every
     already-queued knob-compatible request into one batched
     `_process_group` call (or, without --coalesce, a group of one).
     Draining stops at the first cmd or knob-mismatched request (kept FIFO
-    via `pending`), so replies stay in arrival order."""
+    via `pending`), so replies stay in arrival order.
+
+    ``draining`` (an Event, optional): once set — by the SIGTERM handler —
+    the loop keeps processing whatever is already queued and returns when
+    the queue runs dry (readers stop admitting work the same moment, so
+    "dry" is reachable under load)."""
     import collections
     import queue as queue_mod
 
@@ -85,7 +116,17 @@ def _serve_queue(pipe, args, q, _EOF, stats):
         elif eof:
             return 0
         else:
-            line, client = q.get()
+            if draining is None:
+                line, client = q.get()
+            else:
+                # bounded wait so a drain signal with an empty queue is
+                # noticed; items already queued still process first
+                try:
+                    line, client = q.get(timeout=0.25)
+                except queue_mod.Empty:
+                    if draining.is_set():
+                        return 0
+                    continue
             if line is _EOF:
                 return 0
             req = parse(line, client)
@@ -146,22 +187,27 @@ def _serve_queue(pipe, args, q, _EOF, stats):
         _process_group(pipe, args, group, emit)
 
 
-def _enqueue(q, line, client, args, stats):
-    """Reader-side admission control: past --max_queue pending lines, work
-    requests get an IMMEDIATE queue_full error reply instead of growing the
-    queue without bound (an unbounded queue under overload means unbounded
-    memory and minutes-stale replies).  cmd lines (shutdown/ping/stats) are
+def _enqueue(q, line, client, args, stats, draining=None):
+    """Reader-side admission control: past --max_queue pending lines (or
+    once a SIGTERM drain began), work requests get an IMMEDIATE error reply
+    — ``queue_full`` / ``shutting_down`` — instead of growing the queue
+    without bound (an unbounded queue under overload means unbounded memory
+    and minutes-stale replies; admitting work during a drain would make the
+    drain unreachable under load).  cmd lines (shutdown/ping/stats) are
     always admitted — they are cheap and an operator must never be locked
     out of shutdown by the very overload they are trying to stop."""
-    if args.max_queue and q.qsize() >= args.max_queue:
+    err = None
+    if draining is not None and draining.is_set():
+        err = "shutting_down: server is draining, request not accepted"
+    elif args.max_queue and q.qsize() >= args.max_queue:
+        err = f"queue_full: {args.max_queue} requests already pending"
+    if err:
         try:
             req = json.loads(line)
         except ValueError:
             req = None
         if not (isinstance(req, dict) and req.get("cmd")):
-            resp = {"ok": False,
-                    "error": f"queue_full: {args.max_queue} requests "
-                             "already pending"}
+            resp = {"ok": False, "error": err}
             if isinstance(req, dict) and "id" in req:
                 resp["id"] = req["id"]
             stats.reply(resp)
@@ -178,14 +224,16 @@ def _serve_coalesced(pipe, args, stats):
     q = queue_mod.Queue()
     _EOF = object()
     client = _StdioClient()
+    draining = threading.Event()
+    _install_drain_handler(draining)
 
     def reader():
         for line in sys.stdin:
-            _enqueue(q, line, client, args, stats)
+            _enqueue(q, line, client, args, stats, draining)
         q.put((_EOF, client))
 
     threading.Thread(target=reader, daemon=True).start()
-    return _serve_queue(pipe, args, q, _EOF, stats)
+    return _serve_queue(pipe, args, q, _EOF, stats, draining)
 
 
 def _serve_socket(pipe, args, stats):
@@ -209,6 +257,8 @@ def _serve_socket(pipe, args, stats):
     q = queue_mod.Queue()
     _EOF = object()
     stop = threading.Event()
+    draining = threading.Event()
+    _install_drain_handler(draining)
 
     def reader(conn, addr):
         client = _SocketClient(conn)
@@ -220,7 +270,7 @@ def _serve_socket(pipe, args, stats):
                 rfile = conn.makefile("r", encoding="utf-8",
                                       errors="replace")
                 for line in rfile:
-                    _enqueue(q, line, client, args, stats)
+                    _enqueue(q, line, client, args, stats, draining)
                     if stop.is_set():
                         break
         except OSError:
@@ -242,7 +292,7 @@ def _serve_socket(pipe, args, stats):
                                   daemon=True)
     acceptor_t.start()
     try:
-        return _serve_queue(pipe, args, q, _EOF, stats)
+        return _serve_queue(pipe, args, q, _EOF, stats, draining)
     finally:
         stop.set()
         # close() alone does NOT wake a thread blocked in accept() on

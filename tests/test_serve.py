@@ -886,6 +886,66 @@ def test_serve_enqueue_backpressure():
     assert q.qsize() == 4 and len(sent) == 1
 
 
+def test_serve_sigterm_drains_queue_then_exits(tmp_path):
+    """A REAL SIGTERM to a REAL serve process (tests/_serve_drain_child.py:
+    the actual cli.serve main, --listen, fake slow pipeline) must (1) keep
+    replying to every request already queued, (2) refuse new work with a
+    shutting_down error, and (3) exit 0 once the queue runs dry — a TPU
+    maintenance preemption delivers exactly this signal, and dropping a
+    client's queued requests on the floor is not acceptable serving
+    behavior.  The reference has no serving surface at all."""
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    emb_path = tmp_path / "emb.npy"
+    np.save(emb_path, np.zeros((4, 77 * 768), np.float32))
+    child = os.path.join(os.path.dirname(__file__), "_serve_drain_child.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, child, str(tmp_path / "served")],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env)
+    try:
+        ready = json.loads(proc.stdout.readline())
+        conn = socket.create_connection(("127.0.0.1", ready["port"]),
+                                        timeout=60)
+        r = conn.makefile("r")
+        w = conn.makefile("w")
+        assert json.loads(r.readline())["ready"]
+        for i in range(3):
+            w.write(json.dumps({"id": f"q{i}",
+                                "embeddings": str(emb_path),
+                                "indices": [i]}) + "\n")
+        w.flush()
+        replies = {}
+
+        def read_reply():
+            resp = json.loads(r.readline())
+            replies[resp.get("id")] = resp
+
+        read_reply()  # q0 done -> q1 in flight, q2 queued (0.5 s/dispatch)
+        proc.send_signal(signal.SIGTERM)
+        time.sleep(0.2)  # let the handler set the drain flag
+        w.write(json.dumps({"id": "late",
+                            "embeddings": str(emb_path),
+                            "indices": [3]}) + "\n")
+        w.flush()
+        for _ in range(3):
+            read_reply()
+        assert proc.wait(timeout=60) == 0
+        assert all(replies[f"q{i}"]["ok"] for i in range(3)), replies
+        assert replies["late"]["ok"] is False
+        assert "shutting_down" in replies["late"]["error"]
+        conn.close()
+    finally:
+        proc.kill()
+
+
 def test_serve_socket_acceptor_thread_exits(monkeypatch, tiny_pipe, tmp_path,
                                             rng):
     """Shutdown wakes the acceptor out of accept() (shutdown(SHUT_RDWR)

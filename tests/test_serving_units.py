@@ -115,6 +115,65 @@ def test_serve_queue_no_coalesce_single_groups(monkeypatch):
     assert [[r["id"] for r in g] for g in groups] == [["a"], ["b"]]
 
 
+def test_serve_queue_drains_queued_work_on_sigterm_flag(monkeypatch):
+    """With the draining Event set (what the SIGTERM handler does), the
+    queue loop must process everything ALREADY queued — replying to each —
+    and return once the queue runs dry, without needing an _EOF marker
+    (stdin never closes under a preemption)."""
+    import json
+    import threading
+
+    groups = []
+
+    def fake_group(pipe, args_, group, emit):
+        groups.append([req for req, _t0, _client in group])
+        for req, _t0, client in group:
+            emit({"ok": True, "clips": 0, "gifs": [], "latency_s": 0.0},
+                 req, client)
+
+    monkeypatch.setattr(transport, "_process_group", fake_group)
+    q = queue.Queue()
+    client = _FakeClient()
+    for rid in ("a", "b"):
+        q.put((json.dumps({"id": rid, "indices": [0]}), client))
+    draining = threading.Event()
+    draining.set()
+    rc = _serve_queue(pipe=None, args=_args(), q=q, _EOF=object(),
+                      stats=_Stats(), draining=draining)
+    assert rc == 0
+    assert [r["id"] for r in client.sent] == ["a", "b"]
+    assert all(r["ok"] for r in client.sent)
+
+
+def test_enqueue_rejects_work_while_draining():
+    """Once the drain flag is set, new work lines error-reply
+    shutting_down (never enqueue — admitting work would make the drain
+    unreachable under load) while cmd lines stay admitted, mirroring the
+    queue_full policy."""
+    import json
+    import threading
+
+    args = _args()
+    q = queue.Queue()
+    client = _FakeClient()
+    draining = threading.Event()
+    draining.set()
+    transport._enqueue(q, json.dumps({"id": "w", "indices": [0]}), client,
+                       args, _Stats(), draining)
+    assert q.qsize() == 0
+    assert client.sent[-1]["ok"] is False
+    assert "shutting_down" in client.sent[-1]["error"]
+    assert client.sent[-1]["id"] == "w"
+    transport._enqueue(q, json.dumps({"cmd": "shutdown"}), client, args,
+                       _Stats(), draining)
+    assert q.qsize() == 1  # cmds always admitted
+    # flag clear -> work admits normally
+    draining.clear()
+    transport._enqueue(q, json.dumps({"id": "w2"}), client, args,
+                       _Stats(), draining)
+    assert q.qsize() == 2
+
+
 def test_serve_queue_protocol_errors_and_cmds(monkeypatch):
     import json
 
