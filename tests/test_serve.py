@@ -917,28 +917,33 @@ def test_serve_sigterm_drains_queue_then_exits(tmp_path):
         r = conn.makefile("r")
         w = conn.makefile("w")
         assert json.loads(r.readline())["ready"]
-        for i in range(3):
+        # 4 requests at 0.5 s/dispatch: after q0's reply ~1.5 s of queued
+        # work remains — a wide window for the late-request refusal even on
+        # a loaded single-CPU host
+        for i in range(4):
             w.write(json.dumps({"id": f"q{i}",
                                 "embeddings": str(emb_path),
-                                "indices": [i]}) + "\n")
+                                "indices": [i % 4]}) + "\n")
         w.flush()
         replies = {}
 
         def read_reply():
-            resp = json.loads(r.readline())
+            line = r.readline()
+            assert line, f"server closed early; got so far: {replies}"
+            resp = json.loads(line)
             replies[resp.get("id")] = resp
 
-        read_reply()  # q0 done -> q1 in flight, q2 queued (0.5 s/dispatch)
+        read_reply()  # q0 done -> q1 in flight, q2/q3 queued
         proc.send_signal(signal.SIGTERM)
         time.sleep(0.2)  # let the handler set the drain flag
         w.write(json.dumps({"id": "late",
                             "embeddings": str(emb_path),
                             "indices": [3]}) + "\n")
         w.flush()
-        for _ in range(3):
+        for _ in range(4):
             read_reply()
         assert proc.wait(timeout=60) == 0
-        assert all(replies[f"q{i}"]["ok"] for i in range(3)), replies
+        assert all(replies[f"q{i}"]["ok"] for i in range(4)), replies
         assert replies["late"]["ok"] is False
         assert "shutting_down" in replies["late"]["error"]
         conn.close()
