@@ -71,8 +71,9 @@ clients; replies route back to the connection that asked, and GIFs are
 still written server-side to ``out_dir`` (the reply carries the paths — the
 transport moves requests, not pixels).  A ``{"cmd": "shutdown"}`` from any
 client stops the server; disconnects don't.  ``{"cmd": "stats"}`` returns
-served-request counters (requests/clips/errors/mean latency/uptime) on
-every transport.  Socket requests run through the queue loop's
+served-request counters (requests/clips/errors/mean latency/uptime; in
+the queue-loop modes also the live queue depth and drain state) on every
+transport.  Socket requests run through the queue loop's
 explicit-latents graph (the same one --coalesce uses) even for groups of
 one.
 

@@ -226,6 +226,7 @@ def _serve_coalesced(pipe, args, stats):
     client = _StdioClient()
     draining = threading.Event()
     _install_drain_handler(draining)
+    stats.queue, stats.draining = q, draining
 
     def reader():
         for line in sys.stdin:
@@ -259,6 +260,7 @@ def _serve_socket(pipe, args, stats):
     stop = threading.Event()
     draining = threading.Event()
     _install_drain_handler(draining)
+    stats.queue, stats.draining = q, draining
 
     def reader(conn, addr):
         client = _SocketClient(conn)
@@ -318,6 +320,10 @@ class _Stats:
         self._t0 = time.time()
         self.requests = self.clips = self.errors = 0
         self.latency_sum = 0.0
+        # live-state refs, set by the queue-loop transports: snapshot then
+        # reports backlog + drain state (operator visibility under load)
+        self.queue = None
+        self.draining = None
 
     def reply(self, resp):
         if "pong" in resp or "bye" in resp or "uptime_s" in resp:
@@ -333,9 +339,14 @@ class _Stats:
     def snapshot(self):
         with self._lock:
             done = self.requests - self.errors
-            return {"ok": True, "requests": self.requests,
+            snap = {"ok": True, "requests": self.requests,
                     "clips": self.clips, "errors": self.errors,
                     "mean_latency_s": round(
                         self.latency_sum / done, 3) if done else None,
                     "uptime_s": round(time.time() - self._t0, 1)}
+        if self.queue is not None:
+            snap["queued"] = self.queue.qsize()
+        if self.draining is not None:
+            snap["draining"] = self.draining.is_set()
+        return snap
 

@@ -54,6 +54,20 @@ def test_stats_counters():
     snap = s.snapshot()
     assert snap["requests"] == 2 and snap["clips"] == 3
     assert snap["errors"] == 1 and snap["mean_latency_s"] == 1.5
+    assert "queued" not in snap  # plain stdin mode: no queue to report
+
+
+def test_stats_reports_queue_depth_and_drain_state():
+    import threading
+
+    s = _Stats()
+    s.queue = queue.Queue()
+    s.queue.put(("x", None))
+    s.draining = threading.Event()
+    snap = s.snapshot()
+    assert snap["queued"] == 1 and snap["draining"] is False
+    s.draining.set()
+    assert s.snapshot()["draining"] is True
 
 
 class _FakeClient:
