@@ -79,10 +79,12 @@ one.
 
 Graceful shutdown — in the queue-loop modes (--coalesce / --listen),
 SIGTERM (what a TPU maintenance preemption delivers) drains instead of
-killing: readers stop admitting new work (immediate ``shutting_down``
-error replies), every request already queued is processed and replied to,
-and the process exits 0 once the queue runs dry.  Ctrl-C (SIGINT) still
-hard-stops; so does a ``{"cmd": "shutdown"}``, which replies and exits
+killing: readers stop admitting new lines (immediate ``shutting_down``
+error replies — during a drain cmds are refused too, so nothing can race
+the final queue-empty exit check and go unanswered), every request
+already queued is processed and replied to, and the process exits 0 once
+the queue runs dry.  Ctrl-C (SIGINT) still hard-stops; so does a
+``{"cmd": "shutdown"}`` received before a drain, which replies and exits
 without draining the remaining queue.
 """
 

@@ -9,6 +9,7 @@ Protocol + measured numbers live in cli/serve.py.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -47,33 +48,82 @@ class _SocketClient:
             self.alive = False
 
 
-def _install_drain_handler(draining):
+class _Drain:
+    """Drain state shared by reader threads and the queue loop.
+
+    ``flag``: set by the SIGTERM handler (graceful preemption).  ``lock``:
+    makes reader admission atomic against the loop's final emptiness
+    check — a reader holding the lock either enqueues while the flag is
+    still clear (the loop then sees a non-empty queue and keeps going) or
+    observes the flag and refuses; the loop only exits after seeing
+    flag-set AND queue-empty under the same lock, so no line is ever
+    silently dropped into a dead queue (every request is either processed
+    or refusal-replied)."""
+
+    def __init__(self):
+        import threading
+
+        self.flag = threading.Event()
+        self.lock = threading.Lock()
+
+
+def _install_drain_handler(drain):
     """SIGTERM → graceful drain: the flag makes readers stop admitting new
-    work (``shutting_down`` error replies) and the queue loop exit once
+    lines (``shutting_down`` error replies) and the queue loop exit once
     everything already queued has been processed and replied to.  A TPU
     maintenance preemption delivers exactly SIGTERM, and a serving process
     must not drop queued requests on the floor (the training-side analog is
-    ``train.checkpoint.PreemptionGuard``).  The handler only sets the Event
-    (no locks, no queue ops — safe in signal context); SIGINT is left alone
-    so an interactive Ctrl-C still hard-stops.  No-op off the main thread
-    (in-process tests drive the loop directly and set the flag by hand)."""
+    ``train.checkpoint.PreemptionGuard``).  The handler sets the Event
+    FIRST and then reports via os.write (async-signal-safe; a logging emit
+    can raise a reentrant-call error inside a handler and would lose the
+    signal).  SIGINT is left alone so an interactive Ctrl-C still
+    hard-stops.  No-op off the main thread (in-process tests drive the
+    loop directly and set the flag by hand).
+
+    Returns a restore token for ``_restore_handler`` — serve can run
+    embedded (tests run main() in-process), so the host process's SIGTERM
+    disposition must come back when the loop returns."""
     import signal
     import threading
 
     if threading.current_thread() is not threading.main_thread():
-        return
+        return None
 
     def _h(signum, frame):
-        log.info("SIGTERM: draining queued requests, then exiting")
-        draining.set()
+        drain.flag.set()
+        os.write(2, b"serve: SIGTERM - draining queued requests, "
+                    b"then exiting\n")
 
     try:
+        prev = signal.getsignal(signal.SIGTERM)
         signal.signal(signal.SIGTERM, _h)
     except ValueError:  # pragma: no cover - non-main interpreter state
+        return None
+    return (signal.SIGTERM, prev)
+
+
+def _restore_handler(token):
+    if token is None:
+        return
+    import signal
+
+    try:
+        signal.signal(token[0], token[1])
+    except (ValueError, TypeError):  # pragma: no cover - defensive
         pass
 
 
-def _serve_queue(pipe, args, q, _EOF, stats, draining=None):
+def _init_drain(q, stats):
+    """Wire the drain state for a queue-loop transport: install the
+    SIGTERM handler and expose live refs on stats ({"cmd": "stats"}
+    reports queue depth + drain state).  Returns (drain, restore_token)."""
+    drain = _Drain()
+    token = _install_drain_handler(drain)
+    stats.queue, stats.draining = q, drain.flag
+    return drain, token
+
+
+def _serve_queue(pipe, args, q, _EOF, stats, drain=None):
     """Shared request loop for stdin --coalesce and --listen modes: readers
     feed ``q`` with (line, client); each iteration drains every
     already-queued knob-compatible request into one batched
@@ -81,10 +131,11 @@ def _serve_queue(pipe, args, q, _EOF, stats, draining=None):
     Draining stops at the first cmd or knob-mismatched request (kept FIFO
     via `pending`), so replies stay in arrival order.
 
-    ``draining`` (an Event, optional): once set — by the SIGTERM handler —
-    the loop keeps processing whatever is already queued and returns when
-    the queue runs dry (readers stop admitting work the same moment, so
-    "dry" is reachable under load)."""
+    ``drain`` (a ``_Drain``, optional): once its flag is set — by the
+    SIGTERM handler — the loop keeps processing whatever is already queued
+    and returns when the queue runs dry; the final emptiness check happens
+    under ``drain.lock`` so it cannot race a reader's admission (readers
+    refuse new lines the same moment, so "dry" is reachable under load)."""
     import collections
     import queue as queue_mod
 
@@ -116,7 +167,7 @@ def _serve_queue(pipe, args, q, _EOF, stats, draining=None):
         elif eof:
             return 0
         else:
-            if draining is None:
+            if drain is None:
                 line, client = q.get()
             else:
                 # bounded wait so a drain signal with an empty queue is
@@ -124,8 +175,13 @@ def _serve_queue(pipe, args, q, _EOF, stats, draining=None):
                 try:
                     line, client = q.get(timeout=0.25)
                 except queue_mod.Empty:
-                    if draining.is_set():
-                        return 0
+                    if drain.flag.is_set():
+                        # under the lock: a reader past its own flag
+                        # check has either put (queue non-empty, keep
+                        # going) or will see the flag and refuse
+                        with drain.lock:
+                            if q.empty():
+                                return 0
                     continue
             if line is _EOF:
                 return 0
@@ -187,33 +243,65 @@ def _serve_queue(pipe, args, q, _EOF, stats, draining=None):
         _process_group(pipe, args, group, emit)
 
 
-def _enqueue(q, line, client, args, stats, draining=None):
-    """Reader-side admission control: past --max_queue pending lines (or
-    once a SIGTERM drain began), work requests get an IMMEDIATE error reply
-    — ``queue_full`` / ``shutting_down`` — instead of growing the queue
-    without bound (an unbounded queue under overload means unbounded memory
-    and minutes-stale replies; admitting work during a drain would make the
-    drain unreachable under load).  cmd lines (shutdown/ping/stats) are
-    always admitted — they are cheap and an operator must never be locked
-    out of shutdown by the very overload they are trying to stop."""
-    err = None
-    if draining is not None and draining.is_set():
-        err = "shutting_down: server is draining, request not accepted"
+def _enqueue(q, line, client, args, stats, drain=None):
+    """Reader-side admission control.  Past --max_queue pending lines,
+    work requests get an IMMEDIATE ``queue_full`` error reply instead of
+    growing the queue without bound (an unbounded queue under overload
+    means unbounded memory and minutes-stale replies); cmd lines
+    (shutdown/ping/stats) are always admitted — they are cheap and an
+    operator must never be locked out of shutdown by the very overload
+    they are trying to stop.
+
+    Once a SIGTERM drain began, EVERY line — cmds included — gets an
+    immediate ``shutting_down`` refusal instead: admitting work would make
+    the drain unreachable under load, and admitting a cmd could race the
+    loop's final emptiness check and land in a dead queue with no reply
+    (a shutdown/stats during a drain is answered by the refusal itself —
+    the server is already stopping).  The flag check and the put happen
+    under ``drain.lock`` so a line is never enqueued after the loop's
+    exit decision (see ``_Drain``)."""
+    if not line.strip():
+        return  # keep-alive/trailing blank: the parse path ignores these
+    if drain is not None:
+        with drain.lock:
+            if not drain.flag.is_set():
+                if not (args.max_queue and q.qsize() >= args.max_queue):
+                    q.put((line, client))
+                    return
+                admit_cmds = True  # fall through: queue_full refusal
+            else:
+                admit_cmds = False  # drain refusal: nothing is admitted
+        err = ("queue_full: {} requests already pending".format(
+                   args.max_queue) if admit_cmds
+               else "shutting_down: server is draining, request not "
+                    "accepted")
     elif args.max_queue and q.qsize() >= args.max_queue:
+        admit_cmds = True
         err = f"queue_full: {args.max_queue} requests already pending"
-    if err:
-        try:
-            req = json.loads(line)
-        except ValueError:
-            req = None
-        if not (isinstance(req, dict) and req.get("cmd")):
-            resp = {"ok": False, "error": err}
-            if isinstance(req, dict) and "id" in req:
-                resp["id"] = req["id"]
-            stats.reply(resp)
-            client.send(resp)
+    else:
+        q.put((line, client))
+        return
+    try:
+        req = json.loads(line)
+    except ValueError:
+        req = None
+    if admit_cmds and isinstance(req, dict) and req.get("cmd"):
+        if drain is not None:
+            with drain.lock:
+                if not drain.flag.is_set():
+                    q.put((line, client))
+                    return
+            # drain began between the checks: refuse like everything else
+            err = ("shutting_down: server is draining, request not "
+                   "accepted")
+        else:
+            q.put((line, client))
             return
-    q.put((line, client))
+    resp = {"ok": False, "error": err}
+    if isinstance(req, dict) and "id" in req:
+        resp["id"] = req["id"]
+    stats.reply(resp)
+    client.send(resp)
 
 
 def _serve_coalesced(pipe, args, stats):
@@ -224,17 +312,18 @@ def _serve_coalesced(pipe, args, stats):
     q = queue_mod.Queue()
     _EOF = object()
     client = _StdioClient()
-    draining = threading.Event()
-    _install_drain_handler(draining)
-    stats.queue, stats.draining = q, draining
+    drain, token = _init_drain(q, stats)
 
     def reader():
         for line in sys.stdin:
-            _enqueue(q, line, client, args, stats, draining)
+            _enqueue(q, line, client, args, stats, drain)
         q.put((_EOF, client))
 
     threading.Thread(target=reader, daemon=True).start()
-    return _serve_queue(pipe, args, q, _EOF, stats, draining)
+    try:
+        return _serve_queue(pipe, args, q, _EOF, stats, drain)
+    finally:
+        _restore_handler(token)
 
 
 def _serve_socket(pipe, args, stats):
@@ -258,9 +347,7 @@ def _serve_socket(pipe, args, stats):
     q = queue_mod.Queue()
     _EOF = object()
     stop = threading.Event()
-    draining = threading.Event()
-    _install_drain_handler(draining)
-    stats.queue, stats.draining = q, draining
+    drain, token = _init_drain(q, stats)
 
     def reader(conn, addr):
         client = _SocketClient(conn)
@@ -272,7 +359,7 @@ def _serve_socket(pipe, args, stats):
                 rfile = conn.makefile("r", encoding="utf-8",
                                       errors="replace")
                 for line in rfile:
-                    _enqueue(q, line, client, args, stats, draining)
+                    _enqueue(q, line, client, args, stats, drain)
                     if stop.is_set():
                         break
         except OSError:
@@ -294,8 +381,9 @@ def _serve_socket(pipe, args, stats):
                                   daemon=True)
     acceptor_t.start()
     try:
-        return _serve_queue(pipe, args, q, _EOF, stats, draining)
+        return _serve_queue(pipe, args, q, _EOF, stats, drain)
     finally:
+        _restore_handler(token)
         stop.set()
         # close() alone does NOT wake a thread blocked in accept() on
         # Linux — shutdown(SHUT_RDWR) does (accept returns EINVAL), so the

@@ -130,12 +130,11 @@ def test_serve_queue_no_coalesce_single_groups(monkeypatch):
 
 
 def test_serve_queue_drains_queued_work_on_sigterm_flag(monkeypatch):
-    """With the draining Event set (what the SIGTERM handler does), the
+    """With the drain flag set (what the SIGTERM handler does), the
     queue loop must process everything ALREADY queued — replying to each —
     and return once the queue runs dry, without needing an _EOF marker
     (stdin never closes under a preemption)."""
     import json
-    import threading
 
     groups = []
 
@@ -150,42 +149,88 @@ def test_serve_queue_drains_queued_work_on_sigterm_flag(monkeypatch):
     client = _FakeClient()
     for rid in ("a", "b"):
         q.put((json.dumps({"id": rid, "indices": [0]}), client))
-    draining = threading.Event()
-    draining.set()
+    drain = transport._Drain()
+    drain.flag.set()
     rc = _serve_queue(pipe=None, args=_args(), q=q, _EOF=object(),
-                      stats=_Stats(), draining=draining)
+                      stats=_Stats(), drain=drain)
     assert rc == 0
     assert [r["id"] for r in client.sent] == ["a", "b"]
     assert all(r["ok"] for r in client.sent)
 
 
-def test_enqueue_rejects_work_while_draining():
-    """Once the drain flag is set, new work lines error-reply
-    shutting_down (never enqueue — admitting work would make the drain
-    unreachable under load) while cmd lines stay admitted, mirroring the
-    queue_full policy."""
+def test_enqueue_rejects_everything_while_draining():
+    """Once the drain flag is set, EVERY line — cmds included — error-
+    replies shutting_down and nothing enqueues: admitting work would make
+    the drain unreachable under load, and an admitted cmd could race the
+    loop's final queue-empty exit check and land in a dead queue with no
+    reply.  Blank keep-alive lines stay silently ignored (as the parse
+    path treats them)."""
     import json
-    import threading
 
     args = _args()
     q = queue.Queue()
     client = _FakeClient()
-    draining = threading.Event()
-    draining.set()
+    drain = transport._Drain()
+    drain.flag.set()
     transport._enqueue(q, json.dumps({"id": "w", "indices": [0]}), client,
-                       args, _Stats(), draining)
+                       args, _Stats(), drain)
     assert q.qsize() == 0
     assert client.sent[-1]["ok"] is False
     assert "shutting_down" in client.sent[-1]["error"]
     assert client.sent[-1]["id"] == "w"
     transport._enqueue(q, json.dumps({"cmd": "shutdown"}), client, args,
-                       _Stats(), draining)
-    assert q.qsize() == 1  # cmds always admitted
-    # flag clear -> work admits normally
-    draining.clear()
+                       _Stats(), drain)
+    assert q.qsize() == 0  # cmds refused during a drain too
+    assert "shutting_down" in client.sent[-1]["error"]
+    n_sent = len(client.sent)
+    transport._enqueue(q, "   \n", client, args, _Stats(), drain)
+    assert q.qsize() == 0 and len(client.sent) == n_sent  # silent
+    # flag clear -> work and cmds admit normally
+    drain.flag.clear()
     transport._enqueue(q, json.dumps({"id": "w2"}), client, args,
-                       _Stats(), draining)
+                       _Stats(), drain)
+    transport._enqueue(q, json.dumps({"cmd": "ping"}), client, args,
+                       _Stats(), drain)
     assert q.qsize() == 2
+
+
+def test_enqueue_queue_full_still_admits_cmds_with_drain_state():
+    """The queue_full path keeps its cmds-always-admitted policy when the
+    (clear) drain state is wired in."""
+    import json
+
+    args = _args(max_queue=1)
+    q = queue.Queue()
+    client = _FakeClient()
+    drain = transport._Drain()
+    q.put(("x", client))
+    transport._enqueue(q, json.dumps({"id": "w"}), client, args,
+                       _Stats(), drain)
+    assert q.qsize() == 1
+    assert "queue_full" in client.sent[-1]["error"]
+    transport._enqueue(q, json.dumps({"cmd": "stats"}), client, args,
+                       _Stats(), drain)
+    assert q.qsize() == 2  # cmd admitted past backpressure
+
+
+def test_install_drain_handler_restores_previous_disposition():
+    """serve can run embedded (tests run main() in-process): the SIGTERM
+    handler must be restorable so the host process's disposition comes
+    back after the loop returns."""
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        pytest.skip("signal handlers only install on the main thread")
+    prev = signal.getsignal(signal.SIGTERM)
+    drain = transport._Drain()
+    token = transport._install_drain_handler(drain)
+    assert token is not None
+    try:
+        assert signal.getsignal(signal.SIGTERM) is not prev
+    finally:
+        transport._restore_handler(token)
+    assert signal.getsignal(signal.SIGTERM) is prev
 
 
 def test_serve_queue_protocol_errors_and_cmds(monkeypatch):
