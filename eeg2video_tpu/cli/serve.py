@@ -269,6 +269,8 @@ def main(argv=None):
                    help="sequence-parallel (ring attention) sharding of "
                         "the spatial attention (composes with --tp)")
     args = p.parse_args(argv)
+    if args.max_batch < 1:
+        p.error(f"--max_batch must be >= 1, got {args.max_batch}")
 
     pipe = load_pipeline(args.unet, args.vae, dtype=args.dtype)
     if args.semantic_ckpt or args.torch_semantic:

@@ -50,7 +50,13 @@ def read_video_frames(path: str, resize_hw: Optional[tuple] = None):
             frame = cv2.resize(frame, (w, h))
         frames.append(frame)
     cap.release()
-    return np.stack(frames) if frames else np.zeros((0,), np.uint8)
+    if frames:
+        return np.stack(frames)
+    # shape-correct empty result so downstream indexing fails at the right
+    # rank (or zero-fills, native.decode_clips fallback) instead of mixing
+    # a (0,) array into (F, H, W, 3) stacks
+    h, w = resize_hw if resize_hw is not None else (0, 0)
+    return np.zeros((0, h, w, 3), np.uint8)
 
 
 def extract_gifs_from_block(video_path: str, out_dir: str,
@@ -62,7 +68,6 @@ def extract_gifs_from_block(video_path: str, out_dir: str,
     for each (concept, rep) clip of 48 frames keep every 8th -> 6 frames at
     288x512, saved as ``{clip_index}.gif`` in presentation order."""
     import cv2
-    import imageio
 
     os.makedirs(out_dir, exist_ok=True)
     schedule = clip_frame_schedule()
@@ -135,6 +140,13 @@ class VideoClipDataset:
         frames = read_video_frames(self.video_paths[i], resize_hw=(self.height, self.width))
         idx = np.arange(self.sample_start_idx, len(frames), self.sample_frame_rate)
         idx = idx[: self.n_sample_frames]
+        if len(idx) < self.n_sample_frames:
+            # fail HERE with the path, not at a far-away shape mismatch in
+            # the batch stack (a corrupt/short mp4 among hundreds)
+            raise ValueError(
+                f"{self.video_paths[i]}: decoded {len(frames)} frames, "
+                f"need {self.n_sample_frames} at stride "
+                f"{self.sample_frame_rate} from {self.sample_start_idx}")
         clip = frames[idx].astype(np.float32) / 127.5 - 1.0
         return {"pixel_values": clip, "prompt_ids": self.prompt_ids[i]}
 
@@ -148,24 +160,6 @@ class VideoClipDataset:
                               self.n_sample_frames, self.sample_frame_rate,
                               self.sample_start_idx, n_threads)
         return pixels, np.asarray(self.prompt_ids)
-
-    def batches(self, batch_size: int, shuffle=True, seed=0, drop_last=True):
-        """Simple host-side batch iterator (replaces torch DataLoader)."""
-        order = np.arange(len(self))
-        rng = np.random.default_rng(seed)
-        while True:
-            if shuffle:
-                rng.shuffle(order)
-            for s in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
-                items = [self[int(j)] for j in order[s:s + batch_size]]
-                if len(items) < batch_size and drop_last:
-                    continue
-                yield {
-                    "pixel_values": np.stack([it["pixel_values"] for it in items]),
-                    "prompt_ids": np.stack([it["prompt_ids"] for it in items]),
-                }
-            if not shuffle:
-                return
 
 
 def _write_gif_fast(path, frames, duration_ms):

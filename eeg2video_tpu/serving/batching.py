@@ -40,7 +40,12 @@ def _generate(pipe, key, emb, negative, latents, out_dir, args, req,
         # index), not the request-relative offset: at --max_batch 1 (the
         # default) the same clip+seed samples identical noise regardless
         # of request composition, so identity-named GIFs are coherent
-        # across requests sharing an out_dir
+        # across requests sharing an out_dir.  At --max_batch > 1 this
+        # plain-stdin path keys a dispatch's noise by its FIRST clip only
+        # (clip i's noise then depends on which clips share its dispatch)
+        # while the queue-loop paths (--coalesce/--listen) key per clip
+        # via _noise_batch — cross-transport byte identity for subset
+        # requests is guaranteed at --max_batch 1 or via the queue loop
         return pipe(
             e, negative, latents=lat,
             key=jax.random.fold_in(key, int(names[s])),
@@ -69,21 +74,26 @@ def handle(pipe, args, req):
     r = _load_request(args, req)
     t0 = time.time()
     # GIFs are named by the requested embedding index (clip identity), so
-    # two requests sharing an out_dir write distinct files
+    # two requests sharing an out_dir write distinct files; r["names"] is
+    # the ONE naming rule (runtimes._load_request) for every path
     gifs = _generate(pipe, r["key"], r["emb"], r["negative"], r["latents"],
-                     r["out_dir"], args, req, names=req.get("indices"))
+                     r["out_dir"], args, req, names=r["names"])
     return {"ok": True, "gifs": gifs, "clips": len(gifs),
             "latency_s": round(time.time() - t0, 3)}
 
 
 _NOISE_FN = {}
+_NOISE_CHUNK = 64  # keys per dispatch: one warm graph for any clip count
 
 
 def _noise_batch(keys, shape):
     """Stacked per-clip initial noise: row i == what the non-coalesced
     single-clip path samples in-graph (``normal(fold_in(seed, name),
     (1,) + shape)``; threefry is vmap-invariant), so a clip's noise never
-    depends on which requests share its dispatch."""
+    depends on which requests share its dispatch.  Keys run through the
+    jitted vmap in fixed _NOISE_CHUNK pads (last key repeated; pad rows
+    sliced off) so a new request clip count never compiles a new graph —
+    the pad-to-one-warm-graph discipline the pipe dispatches use."""
     import jax
 
     fn = _NOISE_FN.get(shape)
@@ -91,7 +101,14 @@ def _noise_batch(keys, shape):
         fn = jax.jit(jax.vmap(
             lambda k: jax.random.normal(k, (1,) + shape)[0]))
         _NOISE_FN[shape] = fn
-    return fn(keys)
+    n = len(keys)
+    pad = (-n) % _NOISE_CHUNK
+    if pad:  # gather-pad: typed PRNG key arrays index fine, repeat doesn't
+        keys = keys[np.minimum(np.arange(n + pad), n - 1)]
+    out = np.concatenate([
+        np.asarray(fn(keys[s:s + _NOISE_CHUNK]))
+        for s in range(0, n + pad, _NOISE_CHUNK)])
+    return out[:n]
 
 
 def _process_group(pipe, args, group, emit):
