@@ -16,7 +16,8 @@ import jax
 
 from ..data import meta
 from ..data.io import load_array, save_array
-from ..diffusion.dana import dana_add_noise, flow_to_beta
+from ..diffusion import dana
+from ..diffusion.dana import dana_add_noise
 from ..utils import get_logger
 from ..utils.cache import enable_persistent_cache
 
@@ -49,7 +50,8 @@ def main(argv=None):
         # reorder flow labels into class order to match the latents
         idx = meta.block_reorder_indices(args.block)
         labels = labels.reshape(meta.N_CONCEPTS, meta.N_REPS)[idx].reshape(-1)
-    betas = np.where(labels == 1, 0.3, 0.2).astype(np.float32)
+    betas = np.where(labels == 1, dana.BETA_FAST,
+                     dana.BETA_SLOW).astype(np.float32)
 
     out = np.asarray(dana_add_noise(jax.random.key(args.seed), latents, betas,
                                     time_steps=args.time_steps))

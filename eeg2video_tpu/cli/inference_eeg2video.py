@@ -201,10 +201,12 @@ def main(argv=None):
     if args.woSeq2Seq:
         latents, tag = None, "40_Classes_woSeq2Seq"
     elif args.woDANA:
-        latents = latents_from_torch_layout(load_array(args.seq2seq_latents))
+        latents = latents_from_torch_layout(load_array(args.seq2seq_latents),
+                                            frames=args.video_length)
         tag = "40_Classes_woDANA"
     else:
-        latents = latents_from_torch_layout(load_array(args.dana_latents))
+        latents = latents_from_torch_layout(load_array(args.dana_latents),
+                                            frames=args.video_length)
         tag = "40_Classes_Fullmodel"
     out_dir = args.out_dir or f"./outputs/{tag}"
 

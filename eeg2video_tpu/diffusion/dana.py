@@ -50,6 +50,10 @@ def dana_add_noise(key, x0, dynamic_beta, time_steps: int = DANA_TIME_STEPS):
     return sa * x0 + so * noise
 
 
-def flow_to_beta(flow_scores) -> jnp.ndarray:
-    """Optical-flow score -> beta_d (reference add_noise.py:106,120)."""
-    return jnp.where(jnp.asarray(flow_scores) >= FLOW_THRESHOLD, BETA_FAST, BETA_SLOW)
+def flow_to_beta(flow_scores, threshold: float = FLOW_THRESHOLD) -> jnp.ndarray:
+    """Optical-flow score -> beta_d (reference add_noise.py:106,120).
+
+    ``threshold`` defaults to the reference's 1.799 fast-motion cut; the
+    CLIs expose it (--threshold / --dana_threshold) because the shipped
+    score table's estimator/scale is unpublished."""
+    return jnp.where(jnp.asarray(flow_scores) >= threshold, BETA_FAST, BETA_SLOW)

@@ -213,19 +213,44 @@ class EEG2VideoPipeline:
             )
 
 
-def latents_from_torch_layout(x):
+def latents_from_torch_layout(x, frames=None):
     """Reference latent artifacts are rearranged 'a b c d e -> a c b d e'
     before the pipeline (inference_eeg2video.py:63,69), i.e. files store
     (B, F, C, H, W) and the pipeline wants (B, C, F, H, W).  Accepts either
-    and returns channels-last (B, F, H, W, C)."""
+    and returns channels-last (B, F, H, W, C).
+
+    ``frames`` (optional): the expected frame count.  Required to resolve
+    the one genuinely ambiguous shape — a 4-frame clip's (B, 4, 4, H, W)
+    reads the same in both layouts — and validated when given so a
+    wrong-length artifact fails here with the shape, not downstream."""
     x = np.asarray(x)
-    if x.shape[1] == 4 and x.shape[2] != 4:  # (B, C, F, H, W)
-        x = np.transpose(x, (0, 2, 3, 4, 1))
-    elif x.shape[2] == 4:  # (B, F, C, H, W)
-        x = np.transpose(x, (0, 1, 3, 4, 2))
-    else:
+    if x.ndim != 5:
         raise ValueError(f"unrecognized latent layout {x.shape}")
-    return x
+    if frames is not None:
+        ch_first = x.shape[1] == 4 and x.shape[2] == frames
+        fr_first = x.shape[2] == 4 and x.shape[1] == frames
+        if ch_first and fr_first:  # frames == 4: contents are undecidable
+            raise ValueError(
+                f"ambiguous latent layout {x.shape}: a {frames}-frame "
+                "clip reads identically channel-first and frame-first — "
+                "reorder the artifact to (B, F, H, W, C) yourself and "
+                "pass it to the pipeline directly")
+        if not (ch_first or fr_first):
+            raise ValueError(
+                f"latent layout {x.shape} does not match frames={frames} "
+                "in either (B, C, F, H, W) or (B, F, C, H, W)")
+    else:
+        ch_first = x.shape[1] == 4 and x.shape[2] != 4
+        fr_first = x.shape[2] == 4
+        if x.shape[1] == 4 and x.shape[2] == 4:
+            raise ValueError(
+                f"ambiguous latent layout {x.shape} (F == C == 4): pass "
+                "frames= to disambiguate")
+    if ch_first:  # (B, C, F, H, W)
+        return np.transpose(x, (0, 2, 3, 4, 1))
+    if fr_first:  # (B, F, C, H, W)
+        return np.transpose(x, (0, 1, 3, 4, 2))
+    raise ValueError(f"unrecognized latent layout {x.shape}")
 
 
 def video_to_torch_layout(video):

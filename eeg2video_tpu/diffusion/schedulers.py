@@ -40,6 +40,28 @@ def _extract(table, t, ndim):
     return vals.reshape(vals.shape + (1,) * (ndim - vals.ndim))
 
 
+def _ddim_spacing(num_inference_steps, num_train_timesteps, beta_start,
+                  beta_end, schedule, steps_offset):
+    """The diffusers-0.11.1 leading-space discretization both samplers ride
+    (DDIM and DPM-Solver++ must use the IDENTICAL grid — their docstrings
+    promise they discretize the same probability-flow ODE).  Returns f64
+    ``(betas, alphas_cumprod, step_ratio, timesteps)``."""
+    if not 1 <= num_inference_steps <= num_train_timesteps:
+        # past the cap, step_ratio floors to 0: DDIM silently no-ops every
+        # step and DPM++ divides 0/0 into all-NaN output (diffusers raises
+        # ValueError at the same point)
+        raise ValueError(
+            f"num_inference_steps={num_inference_steps} must be in "
+            f"[1, {num_train_timesteps}]")
+    betas = make_beta_schedule(num_train_timesteps, beta_start, beta_end,
+                               schedule)
+    ac = np.cumprod(1.0 - betas)
+    step_ratio = num_train_timesteps // num_inference_steps
+    ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].copy()
+    ts = ts.astype(np.int32) + steps_offset
+    return betas, ac, step_ratio, ts
+
+
 @dataclasses.dataclass(frozen=True)
 class DDPMSchedule:
     """Forward (q) process + ancestral sampling tables."""
@@ -89,11 +111,9 @@ class DDIMSchedule:
     def create(cls, num_inference_steps: int, num_train_timesteps=1000,
                beta_start=0.00085, beta_end=0.012, schedule="scaled_linear",
                steps_offset: int = 1, set_alpha_to_one: bool = False):
-        betas = make_beta_schedule(num_train_timesteps, beta_start, beta_end, schedule)
-        ac = np.cumprod(1.0 - betas)
-        step_ratio = num_train_timesteps // num_inference_steps
-        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].copy()
-        ts = ts.astype(np.int32) + steps_offset
+        betas, ac, _, ts = _ddim_spacing(
+            num_inference_steps, num_train_timesteps, beta_start, beta_end,
+            schedule, steps_offset)
         final_ac = np.float32(1.0) if set_alpha_to_one else np.float32(ac[0])
         return cls(
             alphas_cumprod=jnp.asarray(ac, jnp.float32),
@@ -166,11 +186,9 @@ class DPMSolverPPSchedule:
     def create(cls, num_inference_steps: int, num_train_timesteps=1000,
                beta_start=0.00085, beta_end=0.012, schedule="scaled_linear",
                steps_offset: int = 1, set_alpha_to_one: bool = False):
-        betas = make_beta_schedule(num_train_timesteps, beta_start, beta_end, schedule)
-        ac = np.cumprod(1.0 - betas)
-        step_ratio = num_train_timesteps // num_inference_steps
-        ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].copy()
-        ts = ts.astype(np.int32) + steps_offset
+        betas, ac, step_ratio, ts = _ddim_spacing(
+            num_inference_steps, num_train_timesteps, beta_start, beta_end,
+            schedule, steps_offset)
         final_ac = np.float64(1.0 - betas[0]) if not set_alpha_to_one else np.float64(1.0)
         # DDIM-convention target timesteps: prev_t = t - step_ratio, with the
         # final interval landing on final_alpha_cumprod (= ac[0] here)

@@ -177,6 +177,7 @@ def _latents_from_raw(args, req, raw=None):
     import jax
 
     from ..data import meta
+    from ..diffusion import dana as dana_mod
     from ..diffusion.dana import dana_add_noise
 
     fn = getattr(args, "seq2seq_predict", None)
@@ -234,7 +235,8 @@ def _latents_from_raw(args, req, raw=None):
         if len(labels) != len(lat):
             raise ValueError(f"{len(labels)} flow scores for "
                              f"{len(lat)} clips")
-        betas = np.where(labels, 0.3, 0.2).astype(np.float32)
+        betas = np.where(labels, dana_mod.BETA_FAST,
+                         dana_mod.BETA_SLOW).astype(np.float32)
         lat = np.asarray(dana_add_noise(
             jax.random.key(int(req.get("dana_seed", args.dana_seed))),
             lat, betas, time_steps=args.dana_time_steps))
@@ -339,7 +341,9 @@ def _load_request(args, req):
                 "use the provided latents with raw-derived conditioning")
         latents = _latents_from_raw(args, req, raw)
     elif req.get("latents"):
-        latents = latents_from_torch_layout(load_array(req["latents"]))
+        latents = latents_from_torch_layout(
+            load_array(req["latents"]),
+            frames=req.get("video_length", args.video_length))
     if latents is not None and idx is not None:
         latents = latents[np.asarray(idx, np.int64)]
     return {

@@ -101,3 +101,28 @@ def test_text_pipeline_wrapper(rng):
     e1 = tp.encode_prompts(["a cat is sleeping on the sofa"])
     e0 = tp.encode_prompts([""])
     assert not np.allclose(e1, e0)
+
+
+def test_latents_from_torch_layout_disambiguation():
+    """(B, 4, 4, H, W) — a 4-frame clip — reads identically channel-first
+    and frame-first, so the converter must refuse instead of silently
+    scrambling frames/channels; frames= resolves every unambiguous case
+    and validates the artifact length."""
+    import pytest
+
+    b, h, w = 2, 6, 8
+    ch_first = np.arange(b * 4 * 6 * h * w, dtype=np.float32).reshape(
+        b, 4, 6, h, w)
+    fr_first = np.transpose(ch_first, (0, 2, 1, 3, 4))  # (B, 6, 4, H, W)
+    out_a = latents_from_torch_layout(ch_first, frames=6)
+    out_b = latents_from_torch_layout(fr_first, frames=6)
+    assert out_a.shape == (b, 6, h, w, 4)
+    np.testing.assert_array_equal(out_a, out_b)
+
+    amb = np.zeros((b, 4, 4, h, w), np.float32)
+    with pytest.raises(ValueError, match="ambiguous"):
+        latents_from_torch_layout(amb)
+    with pytest.raises(ValueError, match="ambiguous"):
+        latents_from_torch_layout(amb, frames=4)
+    with pytest.raises(ValueError, match="does not match"):
+        latents_from_torch_layout(ch_first, frames=5)

@@ -87,3 +87,18 @@ def test_init_noise_sigma_is_identity():
     # DDIM scale_model_input is identity (diffusers 0.11.1); the pipeline
     # multiplies initial latents by init_noise_sigma == 1.0
     assert DDIMSchedule.create(100).init_noise_sigma == 1.0
+
+
+def test_steps_past_train_cap_raise():
+    # past the cap, step_ratio floors to 0: DDIM silently no-ops and DPM++
+    # goes all-NaN (0/0 into r); both must raise like diffusers instead
+    import pytest
+
+    from eeg2video_tpu.diffusion.schedulers import DPMSolverPPSchedule
+
+    for bad in (0, 1001):
+        with pytest.raises(ValueError, match="num_inference_steps"):
+            DDIMSchedule.create(bad)
+        with pytest.raises(ValueError, match="num_inference_steps"):
+            DPMSolverPPSchedule.create(bad)
+    DDIMSchedule.create(1000)  # the boundary itself is valid
