@@ -182,7 +182,10 @@ def test_serve_coalesce_isolates_malformed_request(monkeypatch, tiny_pipe,
     assert good["id"] == "good" and good["ok"] and good["clips"] == 1
     for g in good["gifs"]:
         assert os.path.exists(g)
-    assert bad["id"] == "bad" and not bad["ok"] and "latents" in bad["error"]
+    # the wrong-frame-count artifact now fails in latents_from_torch_layout
+    # ("latent layout ... does not match frames=2"), before the per-clip
+    # shape check — either way the message names the latents problem
+    assert bad["id"] == "bad" and not bad["ok"] and "latent" in bad["error"]
 
 
 def test_serve_coalesce_duplicate_paths_are_serialized(monkeypatch, tiny_pipe,
